@@ -1,0 +1,92 @@
+"""DTCWT module-style API (reference: dtcwt/transform2d.py)."""
+from __future__ import annotations
+
+from pytorch_wavelets_tpu.models._base import StaticModule
+from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+    dtcwt2d, dtcwt_fwd_filters, dtcwt_inv_filters, idtcwt2d,
+)
+
+
+def _freeze(obj):
+    """Make skip_hps/include_scale hashable."""
+    if isinstance(obj, (list, tuple)):
+        return tuple(bool(v) for v in obj)
+    return bool(obj)
+
+
+def _freeze_filters(d):
+    return tuple(sorted(d.items()))
+
+
+def _thaw_filters(t):
+    return dict(t)
+
+
+class DTCWTForward(StaticModule):
+    """2-D dual-tree complex wavelet forward transform (reference
+    DTCWTForward, dtcwt/transform2d.py:20-147).
+
+    Args:
+        biort: level-1 filter name ('antonini', 'legall', 'near_sym_a',
+            'near_sym_b') or a (h0o, h1o) tuple of arrays.
+        qshift: level>=2 filter name ('qshift_06', 'qshift_a', 'qshift_b',
+            'qshift_c', 'qshift_d') or a (h0a, h0b, h1a, h1b) tuple.
+        J: number of levels.
+        skip_hps: bool or per-level list — skip bandpass computation.
+        include_scale: bool or per-level list — also return lowpasses.
+        o_dim / ri_dim: where orientations and real/imag land.
+        mode: boundary mode for level 1 ('symmetric' forced at J>=2).
+    Call: x (N, C, H, W) -> (yl, yh); yh[j] has shape
+    (N, C, 6, H_j, W_j, 2) for the default dims.  Skipped levels give None.
+    """
+    _fields = ("biort", "qshift", "J", "skip_hps", "include_scale",
+               "o_dim", "ri_dim", "mode", "_filters")
+
+    def __init__(self, biort="near_sym_a", qshift="qshift_a", J=3,
+                 skip_hps=False, include_scale=False, o_dim=2, ri_dim=-1,
+                 mode="symmetric"):
+        if o_dim % 6 == ri_dim % 6:
+            raise ValueError("Orientations and real/imaginary parts must be "
+                             "in different dimensions.")
+        self._set("biort", biort if isinstance(biort, str) else "custom")
+        self._set("qshift", qshift if isinstance(qshift, str) else "custom")
+        self._set("J", J)
+        self._set("skip_hps", _freeze(skip_hps))
+        self._set("include_scale", _freeze(include_scale))
+        self._set("o_dim", o_dim)
+        self._set("ri_dim", ri_dim)
+        self._set("mode", mode)
+        self._set("_filters",
+                  _freeze_filters(dtcwt_fwd_filters(biort, qshift)))
+
+    def __call__(self, x):
+        skip = self.skip_hps
+        inc = self.include_scale
+        return dtcwt2d(
+            x, _thaw_filters(self._filters), J=self.J,
+            skip_hps=list(skip) if isinstance(skip, tuple) else skip,
+            include_scale=list(inc) if isinstance(inc, tuple) else inc,
+            o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
+
+
+class DTCWTInverse(StaticModule):
+    """2-D DTCWT inverse (reference DTCWTInverse,
+    dtcwt/transform2d.py:150-254).
+
+    Call: (yl, yh) -> x.  None entries (lowpass or any bandpass) are
+    treated as zeros."""
+    _fields = ("biort", "qshift", "o_dim", "ri_dim", "mode", "_filters")
+
+    def __init__(self, biort="near_sym_a", qshift="qshift_a", o_dim=2,
+                 ri_dim=-1, mode="symmetric"):
+        self._set("biort", biort if isinstance(biort, str) else "custom")
+        self._set("qshift", qshift if isinstance(qshift, str) else "custom")
+        self._set("o_dim", o_dim)
+        self._set("ri_dim", ri_dim)
+        self._set("mode", mode)
+        self._set("_filters",
+                  _freeze_filters(dtcwt_inv_filters(biort, qshift)))
+
+    def __call__(self, coeffs):
+        return idtcwt2d(coeffs, _thaw_filters(self._filters),
+                        o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)

@@ -1,0 +1,102 @@
+"""DWT / SWT module-style API (reference: dwt/transform2d.py,
+dwt/transform1d.py)."""
+from __future__ import annotations
+
+from pytorch_wavelets_tpu.models._base import StaticModule
+from pytorch_wavelets_tpu.transforms.dwt import (
+    dec_filters, rec_filters, dwt2d, idwt2d, dwt1d, idwt1d, swt2d, iswt2d,
+)
+
+
+class DWTForward(StaticModule):
+    """J-level 2-D DWT (reference DWTForward, dwt/transform2d.py:7-74).
+
+    Args:
+        J: number of decomposition levels.
+        wave: pywt-style name, Wavelet, or (h0, h1) / 4-tuple of arrays.
+        mode: 'zero' | 'symmetric' | 'reflect' | 'periodization' |
+            'periodic'.
+    Call: x (N, C, H, W) -> (yl, yh) with yh finest-first, each entry
+    (N, C, 3, H', W') ordered (LH, HL, HH).
+    """
+    _fields = ("J", "mode", "_filters")
+
+    def __init__(self, J=1, wave="db1", mode="zero"):
+        self._set("J", J)
+        self._set("mode", mode)
+        self._set("_filters", dec_filters(wave))
+
+    def __call__(self, x):
+        return dwt2d(x, self._filters, J=self.J, mode=self.mode)
+
+
+class DWTInverse(StaticModule):
+    """2-D inverse DWT (reference DWTInverse, dwt/transform2d.py:77-148).
+
+    Call: (yl, yh) -> x.  Any yh entry may be None (treated as zeros).
+    """
+    _fields = ("mode", "_filters")
+
+    def __init__(self, wave="db1", mode="zero"):
+        self._set("mode", mode)
+        self._set("_filters", rec_filters(wave))
+
+    def __call__(self, coeffs):
+        return idwt2d(coeffs, self._filters, mode=self.mode)
+
+
+class DWT1DForward(StaticModule):
+    """J-level 1-D DWT on (N, C, L) (reference DWT1DForward,
+    dwt/transform1d.py:7-59)."""
+    _fields = ("J", "mode", "_filters")
+
+    def __init__(self, J=1, wave="db1", mode="zero"):
+        self._set("J", J)
+        self._set("mode", mode)
+        self._set("_filters", dec_filters(wave)[:2])
+
+    def __call__(self, x):
+        return dwt1d(x, self._filters, J=self.J, mode=self.mode)
+
+
+class DWT1DInverse(StaticModule):
+    """1-D inverse DWT (reference DWT1DInverse, dwt/transform1d.py:62-115)."""
+    _fields = ("mode", "_filters")
+
+    def __init__(self, wave="db1", mode="zero"):
+        self._set("mode", mode)
+        self._set("_filters", rec_filters(wave)[:2])
+
+    def __call__(self, coeffs):
+        return idwt1d(coeffs, self._filters, mode=self.mode)
+
+
+class SWTForward(StaticModule):
+    """J-level stationary (undecimated) 2-D wavelet transform (reference
+    SWTForward, dwt/transform2d.py:151-212).
+
+    Call: x (N, C, H, W) -> list of J arrays (N, C, 4, H, W) ordered
+    (LL, LH, HL, HH)."""
+    _fields = ("J", "mode", "_filters")
+
+    def __init__(self, J=1, wave="db1", mode="periodization"):
+        self._set("J", J)
+        self._set("mode", mode)
+        self._set("_filters", dec_filters(wave))
+
+    def __call__(self, x):
+        return swt2d(x, self._filters, J=self.J, mode=self.mode)
+
+
+class SWTInverse(StaticModule):
+    """Inverse SWT — exact inverse of :class:`SWTForward`.  (The reference
+    ships only dead code for this, dwt/swt_inverse.py; this is a working
+    TPU-native implementation.)"""
+    _fields = ("mode", "_filters")
+
+    def __init__(self, wave="db1", mode="periodization"):
+        self._set("mode", mode)
+        self._set("_filters", rec_filters(wave))
+
+    def __call__(self, coeffs):
+        return iswt2d(coeffs, self._filters, mode=self.mode)

@@ -1,0 +1,494 @@
+"""DTCWT forward/inverse level functions and their custom VJPs.
+
+Reference semantics: pytorch_wavelets/dtcwt/transform_funcs.py.  The
+backward of a forward level is the inverse level run with the same
+(biorthogonal, self-time-reversing) filters; for q-shift levels the a/b
+trees swap to effect time reversal (reference:
+transform_funcs.py:361-374,395-413).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_wavelets_tpu.ops.dtcwt_fb import (
+    c2q, coldfilt, colfilter, colifilt, q2c, rowdfilt, rowfilter, rowifilt,
+)
+
+__all__ = [
+    "get_dimensions5", "get_dimensions6",
+    "highs_to_orientations", "orientations_to_highs",
+    "fwd_j1", "fwd_j1_rot", "inv_j1", "inv_j1_rot",
+    "fwd_j2plus", "fwd_j2plus_rot", "inv_j2plus", "inv_j2plus_rot",
+    "fwd_j1_op", "fwd_j2plus_op", "inv_j1_op", "inv_j2plus_op",
+    "fwd_j1_rot_op", "fwd_j2plus_rot_op",
+]
+
+
+def get_dimensions5(o_dim, ri_dim):
+    """Orientation/height/width dims once re/im has been popped off a 6-D
+    layout (reference: transform_funcs.py:10-29)."""
+    o_dim = o_dim % 6
+    ri_dim = ri_dim % 6
+    if ri_dim < o_dim:
+        o_dim -= 1
+    if o_dim == 4:
+        h_dim, w_dim = 2, 3
+    elif o_dim == 3:
+        h_dim, w_dim = 2, 4
+    else:
+        h_dim, w_dim = 3, 4
+    return o_dim, ri_dim, h_dim, w_dim
+
+
+def get_dimensions6(o_dim, ri_dim):
+    """Dims in the full 6-D bandpass tensor (reference:
+    transform_funcs.py:32-58)."""
+    o_dim = o_dim % 6
+    ri_dim = ri_dim % 6
+    if ri_dim < o_dim:
+        o_dim -= 1
+    if o_dim >= 3 and ri_dim >= 3:
+        h_dim = 2
+    elif o_dim >= 4 or ri_dim >= 4:
+        h_dim = 3
+    else:
+        h_dim = 4
+    if o_dim >= 4 and ri_dim >= 4:
+        w_dim = 3
+    elif o_dim >= 4 or ri_dim >= 4:
+        w_dim = 4
+    else:
+        w_dim = 5
+    return o_dim, ri_dim, h_dim, w_dim
+
+
+def highs_to_orientations(lh, hl, hh, o_dim):
+    """(lh, hl, hh) subbands -> 6 oriented complex bands stacked on o_dim in
+    the order 15, 45, 75, 105, 135, 165 degrees (reference:
+    transform_funcs.py:61-72)."""
+    (deg15r, deg15i), (deg165r, deg165i) = q2c(lh)
+    (deg45r, deg45i), (deg135r, deg135i) = q2c(hh)
+    (deg75r, deg75i), (deg105r, deg105i) = q2c(hl)
+    reals = jnp.stack([deg15r, deg45r, deg75r, deg105r, deg135r, deg165r],
+                      axis=o_dim)
+    imags = jnp.stack([deg15i, deg45i, deg75i, deg105i, deg135i, deg165i],
+                      axis=o_dim)
+    return reals, imags
+
+
+def orientations_to_highs(reals, imags, o_dim):
+    """Inverse of :func:`highs_to_orientations` (reference:
+    transform_funcs.py:75-95)."""
+    r = jnp.moveaxis(reals, o_dim, 0)
+    i = jnp.moveaxis(imags, o_dim, 0)
+    lh = c2q((r[0], i[0]), (r[5], i[5]))
+    hl = c2q((r[2], i[2]), (r[3], i[3]))
+    hh = c2q((r[1], i[1]), (r[4], i[4]))
+    return lh, hl, hh
+
+
+# --------------------------------------------------------------------------
+# Level functions (taps in correlation order, like prep_filt buffers)
+# --------------------------------------------------------------------------
+
+def fwd_j1(x, h0, h1, skip_hps, o_dim, mode):
+    """Level-1 analysis (reference: transform_funcs.py:98-121)."""
+    if not skip_hps:
+        lo = rowfilter(x, h0, mode)
+        hi = rowfilter(x, h1, mode)
+        ll = colfilter(lo, h0, mode)
+        lh = colfilter(lo, h1, mode)
+        hl = colfilter(hi, h0, mode)
+        hh = colfilter(hi, h1, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = colfilter(rowfilter(x, h0, mode), h0, mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
+def fwd_j1_rot(x, h0, h1, h2, skip_hps, o_dim, mode):
+    """Level-1 analysis with the bandpass-diagonal (rotationally symmetric)
+    filter h2 on the HH branch (reference: transform_funcs.py:124-149)."""
+    if not skip_hps:
+        lo = rowfilter(x, h0, mode)
+        hi = rowfilter(x, h1, mode)
+        ba = rowfilter(x, h2, mode)
+        lh = colfilter(lo, h1, mode)
+        hl = colfilter(hi, h0, mode)
+        hh = colfilter(ba, h2, mode)
+        ll = colfilter(lo, h0, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = colfilter(rowfilter(x, h0, mode), h0, mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
+def _crop_ll(ll, highr, h_dim, w_dim):
+    r, c = ll.shape[2:]
+    r1, c1 = highr.shape[h_dim], highr.shape[w_dim]
+    if r != r1 * 2:
+        ll = ll[:, :, 1:-1]
+    if c != c1 * 2:
+        ll = ll[:, :, :, 1:-1]
+    return ll
+
+
+def inv_j1(ll, highr, highi, g0, g1, o_dim, h_dim, w_dim, mode):
+    """Level-1 synthesis (reference: transform_funcs.py:152-184)."""
+    if highr is None:
+        return rowfilter(colfilter(ll, g0), g0)
+    lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
+    if ll is None:
+        hi = colfilter(hh, g1, mode) + colfilter(hl, g0, mode)
+        lo = colfilter(lh, g1, mode)
+    else:
+        ll = _crop_ll(ll, highr, h_dim, w_dim)
+        hi = colfilter(hh, g1, mode) + colfilter(hl, g0, mode)
+        lo = colfilter(lh, g1, mode) + colfilter(ll, g0, mode)
+    return rowfilter(hi, g1, mode) + rowfilter(lo, g0, mode)
+
+
+def inv_j1_rot(ll, highr, highi, g0, g1, g2, o_dim, h_dim, w_dim, mode):
+    """Level-1 synthesis, bandpass-diagonal variant (reference:
+    transform_funcs.py:187-223)."""
+    if highr is None:
+        return rowfilter(colfilter(ll, g0), g0)
+    lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
+    if ll is None:
+        lo = colfilter(lh, g1, mode)
+        hi = colfilter(hl, g0, mode)
+        ba = colfilter(hh, g2, mode)
+    else:
+        ll = _crop_ll(ll, highr, h_dim, w_dim)
+        lo = colfilter(lh, g1, mode) + colfilter(ll, g0, mode)
+        hi = colfilter(hl, g0, mode)
+        ba = colfilter(hh, g2, mode)
+    return (rowfilter(hi, g1, mode) + rowfilter(lo, g0, mode) +
+            rowfilter(ba, g2, mode))
+
+
+def fwd_j2plus(x, h0a, h1a, h0b, h1b, skip_hps, o_dim, mode):
+    """Level>=2 analysis with q-shift trees (reference:
+    transform_funcs.py:226-249)."""
+    if not skip_hps:
+        lo = rowdfilt(x, h0b, h0a, False, mode)
+        hi = rowdfilt(x, h1b, h1a, True, mode)
+        ll = coldfilt(lo, h0b, h0a, False, mode)
+        lh = coldfilt(lo, h1b, h1a, True, mode)
+        hl = coldfilt(hi, h0b, h0a, False, mode)
+        hh = coldfilt(hi, h1b, h1a, True, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = coldfilt(rowdfilt(x, h0b, h0a, False, mode), h0b, h0a, False,
+                      mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
+def fwd_j2plus_rot(x, h0a, h1a, h0b, h1b, h2a, h2b, skip_hps, o_dim, mode):
+    """Level>=2 analysis, bandpass-diagonal variant (reference:
+    transform_funcs.py:252-276)."""
+    if not skip_hps:
+        lo = rowdfilt(x, h0b, h0a, False, mode)
+        hi = rowdfilt(x, h1b, h1a, True, mode)
+        ba = rowdfilt(x, h2b, h2a, True, mode)
+        lh = coldfilt(lo, h1b, h1a, True, mode)
+        hl = coldfilt(hi, h0b, h0a, False, mode)
+        hh = coldfilt(ba, h2b, h2a, True, mode)
+        ll = coldfilt(lo, h0b, h0a, False, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = coldfilt(rowdfilt(x, h0b, h0a, False, mode), h0b, h0a, False,
+                      mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
+def inv_j2plus(ll, highr, highi, g0a, g1a, g0b, g1b, o_dim, h_dim, w_dim,
+               mode):
+    """Level>=2 synthesis (reference: transform_funcs.py:279-307)."""
+    if highr is None:
+        return rowifilt(colifilt(ll, g0b, g0a, False, mode), g0b, g0a,
+                        False, mode)
+    lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
+    if ll is None:
+        hi = (colifilt(hh, g1b, g1a, True, mode) +
+              colifilt(hl, g0b, g0a, False, mode))
+        lo = colifilt(lh, g1b, g1a, True, mode)
+    else:
+        hi = (colifilt(hh, g1b, g1a, True, mode) +
+              colifilt(hl, g0b, g0a, False, mode))
+        lo = (colifilt(lh, g1b, g1a, True, mode) +
+              colifilt(ll, g0b, g0a, False, mode))
+    return (rowifilt(hi, g1b, g1a, True, mode) +
+            rowifilt(lo, g0b, g0a, False, mode))
+
+
+def inv_j2plus_rot(ll, highr, highi, g0a, g1a, g0b, g1b, g2a, g2b,
+                   o_dim, h_dim, w_dim, mode):
+    """Level>=2 synthesis, bandpass-diagonal variant (reference:
+    transform_funcs.py:310-340)."""
+    if highr is None:
+        return rowifilt(colifilt(ll, g0b, g0a, False, mode), g0b, g0a,
+                        False, mode)
+    lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
+    if ll is None:
+        lo = colifilt(lh, g1b, g1a, True, mode)
+        hi = colifilt(hl, g0b, g0a, False, mode)
+        ba = colifilt(hh, g2b, g2a, True, mode)
+    else:
+        lo = (colifilt(lh, g1b, g1a, True, mode) +
+              colifilt(ll, g0b, g0a, False, mode))
+        hi = colifilt(hl, g0b, g0a, False, mode)
+        ba = colifilt(hh, g2b, g2a, True, mode)
+    return (rowifilt(hi, g1b, g1a, True, mode) +
+            rowifilt(lo, g0b, g0a, False, mode) +
+            rowifilt(ba, g2b, g2a, True, mode))
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrappers (reference FWD_J1 / FWD_J2PLUS / INV_J1 / INV_J2PLUS)
+# --------------------------------------------------------------------------
+
+def _np_taps(t):
+    return np.asarray(t, dtype=np.float64)
+
+
+@lru_cache(maxsize=None)
+def _make_fwd_j1_op(h0, h1, skip_hps, o_dim, ri_dim, mode):
+    h0a, h1a = _np_taps(h0), _np_taps(h1)
+    dims = get_dimensions5(o_dim, ri_dim)
+    od, rd, hd, wd = dims
+
+    @jax.custom_vjp
+    def op(x):
+        ll, highr, highi = fwd_j1(x, h0a, h1a, skip_hps, od, mode)
+        if skip_hps:
+            return ll
+        return ll, jnp.stack((highr, highi), axis=rd)
+
+    def fwd(x):
+        return op(x), None
+
+    def bwd(_, cts):
+        if skip_hps:
+            dl, dhr, dhi = cts, None, None
+        else:
+            dl, dh = cts
+            dhr, dhi = jnp.moveaxis(dh, rd, 0)
+        # biort filters are self-time-reversing: inverse with same taps
+        dx = inv_j1(dl, dhr, dhi, h0a, h1a, od, hd, wd, mode)
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fwd_j1_op(x, h0, h1, skip_hps, o_dim, ri_dim, mode):
+    op = _make_fwd_j1_op(tuple(h0), tuple(h1), bool(skip_hps), o_dim,
+                         ri_dim, mode)
+    if skip_hps:
+        return op(x), None
+    return op(x)
+
+
+@lru_cache(maxsize=None)
+def _make_fwd_j2plus_op(h0a, h1a, h0b, h1b, skip_hps, o_dim, ri_dim, mode):
+    H0a, H1a = _np_taps(h0a), _np_taps(h1a)
+    H0b, H1b = _np_taps(h0b), _np_taps(h1b)
+    dims = get_dimensions5(o_dim, ri_dim)
+    od, rd, hd, wd = dims
+    mode = "symmetric"  # reference forces symmetric for J>=2 (:381)
+
+    @jax.custom_vjp
+    def op(x):
+        ll, highr, highi = fwd_j2plus(x, H0a, H1a, H0b, H1b, skip_hps, od,
+                                      mode)
+        if skip_hps:
+            return ll
+        return ll, jnp.stack((highr, highi), axis=rd)
+
+    def fwd(x):
+        return op(x), None
+
+    def bwd(_, cts):
+        if skip_hps:
+            dl, dhr, dhi = cts, None, None
+        else:
+            dl, dh = cts
+            dhr, dhi = jnp.moveaxis(dh, rd, 0)
+        # time reverse of q-shift filters == swap the a/b trees (:398-401)
+        dx = inv_j2plus(dl, dhr, dhi, H0b, H1b, H0a, H1a, od, hd, wd, mode)
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fwd_j2plus_op(x, h0a, h1a, h0b, h1b, skip_hps, o_dim, ri_dim, mode):
+    op = _make_fwd_j2plus_op(tuple(h0a), tuple(h1a), tuple(h0b), tuple(h1b),
+                             bool(skip_hps), o_dim, ri_dim, mode)
+    if skip_hps:
+        return op(x), None
+    return op(x)
+
+
+@lru_cache(maxsize=None)
+def _make_fwd_j1_rot_op(h0, h1, h2, skip_hps, o_dim, ri_dim, mode):
+    H0, H1, H2 = _np_taps(h0), _np_taps(h1), _np_taps(h2)
+    od, rd, hd, wd = get_dimensions5(o_dim, ri_dim)
+
+    @jax.custom_vjp
+    def op(x):
+        ll, highr, highi = fwd_j1_rot(x, H0, H1, H2, skip_hps, od, mode)
+        if skip_hps:
+            return ll
+        return ll, jnp.stack((highr, highi), axis=rd)
+
+    def fwd(x):
+        return op(x), None
+
+    def bwd(_, cts):
+        if skip_hps:
+            dl, dhr, dhi = cts, None, None
+        else:
+            dl, dh = cts
+            dhr, dhi = jnp.moveaxis(dh, rd, 0)
+        dx = inv_j1_rot(dl, dhr, dhi, H0, H1, H2, od, hd, wd, mode)
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fwd_j1_rot_op(x, h0, h1, h2, skip_hps, o_dim, ri_dim, mode):
+    op = _make_fwd_j1_rot_op(tuple(h0), tuple(h1), tuple(h2), bool(skip_hps),
+                             o_dim, ri_dim, mode)
+    if skip_hps:
+        return op(x), None
+    return op(x)
+
+
+@lru_cache(maxsize=None)
+def _make_fwd_j2plus_rot_op(h0a, h1a, h0b, h1b, h2a, h2b, skip_hps, o_dim,
+                            ri_dim, mode):
+    H0a, H1a = _np_taps(h0a), _np_taps(h1a)
+    H0b, H1b = _np_taps(h0b), _np_taps(h1b)
+    H2a, H2b = _np_taps(h2a), _np_taps(h2b)
+    od, rd, hd, wd = get_dimensions5(o_dim, ri_dim)
+    mode = "symmetric"
+
+    @jax.custom_vjp
+    def op(x):
+        ll, highr, highi = fwd_j2plus_rot(x, H0a, H1a, H0b, H1b, H2a, H2b,
+                                          skip_hps, od, mode)
+        if skip_hps:
+            return ll
+        return ll, jnp.stack((highr, highi), axis=rd)
+
+    def fwd(x):
+        return op(x), None
+
+    def bwd(_, cts):
+        if skip_hps:
+            dl, dhr, dhi = cts, None, None
+        else:
+            dl, dh = cts
+            dhr, dhi = jnp.moveaxis(dh, rd, 0)
+        dx = inv_j2plus_rot(dl, dhr, dhi, H0b, H1b, H0a, H1a, H2b, H2a,
+                            od, hd, wd, mode)
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fwd_j2plus_rot_op(x, h0a, h1a, h0b, h1b, h2a, h2b, skip_hps, o_dim,
+                      ri_dim, mode):
+    op = _make_fwd_j2plus_rot_op(
+        tuple(h0a), tuple(h1a), tuple(h0b), tuple(h1b), tuple(h2a),
+        tuple(h2b), bool(skip_hps), o_dim, ri_dim, mode)
+    if skip_hps:
+        return op(x), None
+    return op(x)
+
+
+@lru_cache(maxsize=None)
+def _make_inv_j1_op(g0, g1, has_lows, has_highs, o_dim, ri_dim, mode):
+    G0, G1 = _np_taps(g0), _np_taps(g1)
+    od, rd, hd, wd = get_dimensions5(o_dim, ri_dim)
+
+    @jax.custom_vjp
+    def op(lows, highs):
+        hr = hi = None
+        if has_highs:
+            hr, hi = jnp.moveaxis(highs, rd, 0)
+        return inv_j1(lows if has_lows else None, hr, hi, G0, G1, od, hd, wd,
+                      mode)
+
+    def fwd(lows, highs):
+        return op(lows, highs), (lows, highs)
+
+    def bwd(res, dy):
+        lows, highs = res
+        dl, dhr, dhi = fwd_j1(dy, G0, G1, not has_highs, od, mode)
+        dh = (jnp.stack((dhr, dhi), axis=rd) if has_highs else
+              (jnp.zeros_like(highs) if highs is not None else None))
+        dlow = dl if has_lows else (jnp.zeros_like(lows)
+                                    if lows is not None else None)
+        return dlow, dh
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def inv_j1_op(lows, highs, g0, g1, o_dim, ri_dim, mode):
+    op = _make_inv_j1_op(tuple(g0), tuple(g1), lows is not None,
+                         highs is not None, o_dim, ri_dim, mode)
+    return op(lows, highs)
+
+
+@lru_cache(maxsize=None)
+def _make_inv_j2plus_op(g0a, g1a, g0b, g1b, has_lows, has_highs, o_dim,
+                        ri_dim, mode):
+    G0a, G1a = _np_taps(g0a), _np_taps(g1a)
+    G0b, G1b = _np_taps(g0b), _np_taps(g1b)
+    od, rd, hd, wd = get_dimensions5(o_dim, ri_dim)
+    mode = "symmetric"  # reference forces symmetric (:456)
+
+    @jax.custom_vjp
+    def op(lows, highs):
+        hr = hi = None
+        if has_highs:
+            hr, hi = jnp.moveaxis(highs, rd, 0)
+        return inv_j2plus(lows if has_lows else None, hr, hi, G0a, G1a, G0b,
+                          G1b, od, hd, wd, mode)
+
+    def fwd(lows, highs):
+        return op(lows, highs), (lows, highs)
+
+    def bwd(res, dy):
+        lows, highs = res
+        dl, dhr, dhi = fwd_j2plus(dy, G0b, G1b, G0a, G1a, not has_highs, od,
+                                  mode)
+        dh = (jnp.stack((dhr, dhi), axis=rd) if has_highs else
+              (jnp.zeros_like(highs) if highs is not None else None))
+        dlow = dl if has_lows else (jnp.zeros_like(lows)
+                                    if lows is not None else None)
+        return dlow, dh
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def inv_j2plus_op(lows, highs, g0a, g1a, g0b, g1b, o_dim, ri_dim, mode):
+    op = _make_inv_j2plus_op(tuple(g0a), tuple(g1a), tuple(g0b), tuple(g1b),
+                             lows is not None, highs is not None, o_dim,
+                             ri_dim, mode)
+    return op(lows, highs)

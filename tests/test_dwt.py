@@ -1,0 +1,156 @@
+"""2-D DWT parity vs the reference package + invariants.
+
+Mirrors the reference test strategy (reference tests/test_dwt.py): oracle
+comparison over waves x modes x J x odd shapes, perfect reconstruction, and
+adjoint-structure gradients.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_wavelets_tpu as tw
+from tests.reference_oracle import load_reference
+
+WAVES = ["db1", "db2", "db3", "db4", "bior2.4"]
+MODES = ["zero", "symmetric", "reflect", "periodization", "periodic"]
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def _rand(shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("wave", WAVES)
+@pytest.mark.parametrize("mode", MODES)
+def test_fwd_inv_matches_reference(ref, wave, mode):
+    torch, pw = ref
+    x = _rand((2, 3, 32, 32))
+    xt = torch.from_numpy(x)
+    yl_t, yh_t = pw.DWTForward(J=3, wave=wave, mode=mode)(xt)
+    fwd = tw.DWTForward(J=3, wave=wave, mode=mode)
+    yl, yh = fwd(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yl), yl_t.numpy(), atol=ATOL)
+    for a, b in zip(yh, yh_t):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=ATOL)
+    rec_t = pw.DWTInverse(wave=wave, mode=mode)((yl_t, yh_t))
+    inv = tw.DWTInverse(wave=wave, mode=mode)
+    rec = inv((yl, yh))
+    np.testing.assert_allclose(np.asarray(rec), rec_t.numpy(), atol=ATOL)
+    # PR holds except where the filter outgrows the deepest level in
+    # periodization mode (there the reference's single wrap-fold is lossy,
+    # dwt/lowlevel.py:146 — we replicate that behaviour bit-for-bit).
+    from pytorch_wavelets_tpu.filters import wavelet as _wv
+    if not (mode == "periodization" and
+            len(_wv(wave).dec_lo) > 32 // 2 ** 2):
+        np.testing.assert_allclose(np.asarray(rec), x, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(127, 127), (126, 127), (100, 99),
+                                   (99, 100)])
+@pytest.mark.parametrize("mode", ["zero", "symmetric", "periodization"])
+def test_odd_shapes(ref, shape, mode):
+    torch, pw = ref
+    x = _rand((1, 2) + shape, seed=3)
+    xt = torch.from_numpy(x)
+    yl_t, yh_t = pw.DWTForward(J=3, wave="db3", mode=mode)(xt)
+    fwd = tw.DWTForward(J=3, wave="db3", mode=mode)
+    yl, yh = fwd(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yl), yl_t.numpy(), atol=ATOL)
+    for a, b in zip(yh, yh_t):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=ATOL)
+    rec_t = pw.DWTInverse(wave="db3", mode=mode)((yl_t, yh_t))
+    rec = tw.DWTInverse(wave="db3", mode=mode)((yl, yh))
+    np.testing.assert_allclose(np.asarray(rec), rec_t.numpy(), atol=ATOL)
+
+
+def test_none_highpass(ref):
+    torch, pw = ref
+    x = _rand((1, 2, 32, 32))
+    fwd = tw.DWTForward(J=2, wave="db2")
+    yl, yh = fwd(jnp.asarray(x))
+    inv = tw.DWTInverse(wave="db2")
+    rec = inv((yl, [None, yh[1]]))
+    yl_t, yh_t = pw.DWTForward(J=2, wave="db2")(torch.from_numpy(x))
+    rec_t = pw.DWTInverse(wave="db2")((yl_t, [None, yh_t[1]]))
+    np.testing.assert_allclose(np.asarray(rec), rec_t.numpy(), atol=ATOL)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_gradients_match_reference(ref, mode):
+    torch, pw = ref
+    x = _rand((2, 2, 24, 24), seed=1)
+    xt = torch.from_numpy(x).requires_grad_(True)
+    yl_t, yh_t = pw.DWTForward(J=2, wave="db3", mode=mode)(xt)
+    gl = _rand(tuple(yl_t.shape), seed=5)
+    ghs = [_rand(tuple(h.shape), seed=6 + i) for i, h in enumerate(yh_t)]
+    torch.autograd.backward(
+        [yl_t] + list(yh_t),
+        [torch.from_numpy(gl)] + [torch.from_numpy(g) for g in ghs])
+    fwd = tw.DWTForward(J=2, wave="db3", mode=mode)
+    _, vjp = jax.vjp(fwd, jnp.asarray(x))
+    dx, = vjp((jnp.asarray(gl), [jnp.asarray(g) for g in ghs]))
+    np.testing.assert_allclose(np.asarray(dx), xt.grad.numpy(), atol=ATOL)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_inverse_gradients_match_reference(ref, mode):
+    torch, pw = ref
+    x = _rand((1, 2, 16, 16), seed=2)
+    fwd_t = pw.DWTForward(J=2, wave="db2", mode=mode)
+    torch_mod, _ = ref
+    yl_t, yh_t = fwd_t(torch.from_numpy(x))
+    yl_t = yl_t.detach().requires_grad_(True)
+    yh_t = [h.detach().requires_grad_(True) for h in yh_t]
+    rec_t = pw.DWTInverse(wave="db2", mode=mode)((yl_t, yh_t))
+    g = _rand(tuple(rec_t.shape), seed=9)
+    rec_t.backward(torch.from_numpy(g))
+
+    fwd = tw.DWTForward(J=2, wave="db2", mode=mode)
+    yl, yh = fwd(jnp.asarray(x))
+    inv = tw.DWTInverse(wave="db2", mode=mode)
+    _, vjp = jax.vjp(lambda a, b: inv((a, b)), yl, yh)
+    dyl, dyh = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(dyl), yl_t.grad.numpy(), atol=ATOL)
+    for a, b in zip(dyh, yh_t):
+        np.testing.assert_allclose(np.asarray(a), b.grad.numpy(), atol=ATOL)
+
+
+def test_jit_and_vmap():
+    x = jnp.asarray(_rand((2, 3, 32, 32)))
+    fwd = tw.DWTForward(J=2, wave="db2", mode="symmetric")
+    inv = tw.DWTInverse(wave="db2", mode="symmetric")
+
+    @jax.jit
+    def roundtrip(z):
+        yl, yh = fwd(z)
+        return inv((yl, yh))
+
+    np.testing.assert_allclose(np.asarray(roundtrip(x)), np.asarray(x),
+                               atol=1e-4)
+    # vmap over an extra leading dim
+    xs = jnp.stack([x, x + 1])
+    outs = jax.vmap(roundtrip)(xs)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(x) + 1,
+                               atol=1e-4)
+
+
+def test_subband_masking_linearity():
+    """Zeroing subbands commutes with linearity (reference
+    test_dwt.py:169-197 analogue)."""
+    x = jnp.asarray(_rand((1, 1, 64, 64)))
+    fwd = tw.DWTForward(J=2, wave="db2")
+    inv = tw.DWTInverse(wave="db2")
+    yl, yh = fwd(x)
+    r_full = inv((yl, yh))
+    r_low = inv((yl, [jnp.zeros_like(h) for h in yh]))
+    r_high = inv((jnp.zeros_like(yl), yh))
+    np.testing.assert_allclose(np.asarray(r_full),
+                               np.asarray(r_low + r_high), atol=1e-4)

@@ -1,0 +1,57 @@
+"""SWT forward parity + inverse round-trips.
+
+Note the reference SWTForward is partially broken: its default mode
+'periodization' raises in mypad, and J>1 crashes because afb2d_atrous
+returns interleaved channels rather than the documented (N, C, 4, H, W)
+(reference dwt/transform2d.py:206-211, dwt/lowlevel.py:475-521).  We match
+its J=1 numerics on the working modes and provide a working multilevel
+SWT/ISWT."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pytorch_wavelets_tpu as tw
+from pytorch_wavelets_tpu.transforms.dwt import swt2d, iswt2d
+from tests.reference_oracle import load_reference
+
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("wave", ["db1", "db2", "db4"])
+@pytest.mark.parametrize("mode", ["periodic", "symmetric"])
+def test_swt_j1_matches_reference(ref, wave, mode):
+    torch, _ = ref
+    from pytorch_wavelets.dwt.transform2d import SWTForward as RefSWT
+    x = _rand((2, 3, 64, 64))
+    y_t = RefSWT(J=1, wave=wave, mode=mode)(torch.from_numpy(x))[0]
+    y_t = y_t.reshape(2, 3, 4, 64, 64)  # reference returns interleaved ch
+    y = swt2d(jnp.asarray(x), wave, J=1, mode=mode)[0]
+    np.testing.assert_allclose(np.asarray(y), y_t.numpy(), atol=ATOL)
+
+
+@pytest.mark.parametrize("wave", ["db1", "db2", "db4", "sym4"])
+@pytest.mark.parametrize("mode", ["periodic", "periodization"])
+def test_iswt_roundtrip(wave, mode):
+    x = jnp.asarray(_rand((2, 3, 64, 64), seed=1))
+    fwd = tw.SWTForward(J=3, wave=wave, mode=mode)
+    inv = tw.SWTInverse(wave=wave, mode=mode)
+    rec = inv(fwd(x))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
+def test_swt_shapes():
+    x = jnp.asarray(_rand((1, 2, 32, 32)))
+    ys = tw.SWTForward(J=3, wave="db2")(x)
+    assert len(ys) == 3
+    for y in ys:
+        assert y.shape == (1, 2, 4, 32, 32)
