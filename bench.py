@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end DTCWT (forward + inverse), J=2,
+near_sym_a/qshift_a, on a 10x10x128x128 batch — the reference's published
+workload (reference docs/speed.rst:37-40: 14.8 ms on a GTX1080,
+i.e. 1.638 Mpix / 14.8 ms ~= 111 Mpix/s end-to-end).
+
+Measurement notes: on this rig the TPU sits behind a tunnel with ~30 ms
+fixed dispatch+readback latency and a `block_until_ready` that does not
+actually block, so the end-to-end transform is CHAINED K times inside one
+jitted fori_loop (the output feeds the next input, so nothing can be
+elided) and timed with a forced host readback; the measured fixed latency
+of a trivial kernel is subtracted.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 110.7  # GTX1080 end-to-end J=2 (docs/speed.rst:37-40)
+
+
+def _timed_readback(fn, x, iters=5):
+    """Min-of-iters single-shot timings with forced host readback (the
+    tunnel adds +-1-2 ms of per-call noise; min is the robust estimator)."""
+    float(np.asarray(fn(x)).ravel()[0])  # warm-up / compile
+    best = float("inf")
+    s = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s = float(np.asarray(fn(x)).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best, s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    import pytorch_wavelets_tpu as tw
+
+    N, C, H, W = 10, 10, 128, 128
+    K = 200
+    x = jnp.asarray(np.random.RandomState(0).randn(N, C, H, W)
+                    .astype(np.float32))
+    fwd = tw.DTCWTForward(J=2, biort="near_sym_a", qshift="qshift_a")
+    inv = tw.DTCWTInverse(biort="near_sym_a", qshift="qshift_a")
+
+    def end_to_end(z):
+        yl, yh = fwd(z)
+        return inv((yl, yh))
+
+    @jax.jit
+    def chained(z):
+        return lax.fori_loop(0, K, lambda i, a: end_to_end(a), z)
+
+    @jax.jit
+    def trivial(z):
+        return jnp.sum(z) * 0.0 + 1.0
+
+    t_lat, _ = _timed_readback(trivial, x)
+    t_tot, _ = _timed_readback(chained, x)
+    dt = max(t_tot - t_lat, 1e-9) / K
+
+    mpix = N * C * H * W / 1e6
+    value = mpix / dt
+    print(json.dumps({
+        "metric": "dtcwt_j2_end_to_end_mpix_per_s",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / BASELINE_MPIX_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

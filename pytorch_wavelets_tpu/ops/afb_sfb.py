@@ -13,6 +13,8 @@ same reversal once in ``prep_filt_afb1d``, dwt/lowlevel.py:970-971).
 """
 from __future__ import annotations
 
+from functools import lru_cache, partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,7 +87,32 @@ def _afb1d_corr(x, h0_taps, h1_taps, mode, axis):
     including the per-mode output-length calculus.
 
     Returns (N, C, 2, H', W') with index 0=lowpass, 1=highpass.
+    Dispatches to the MXU operator-matmul fast path off-CPU.
     """
+    from pytorch_wavelets_tpu.ops import banded
+    axis = axis % 4
+    n = x.shape[axis]
+    if banded.matmul_enabled(n):
+        T = _afb_matrix(tuple(h0_taps), tuple(h1_taps), mode, n)
+        if axis == 2:
+            y = banded.apply_col(x, T)                    # (N, C, 2M, W)
+            return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
+        y = banded.apply_row(x, T)                        # (N, C, H, 2M)
+        y = y.reshape(*y.shape[:3], 2, -1)                # (N, C, H, 2, M)
+        return jnp.moveaxis(y, 3, 2)
+    return _afb1d_corr_conv(x, h0_taps, h1_taps, mode, axis)
+
+
+@lru_cache(maxsize=None)
+def _afb_matrix(h0, h1, mode, n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.probe_op(
+        lambda I: _afb1d_corr_conv(I, np.asarray(h0), np.asarray(h1), mode,
+                                   2), n)
+
+
+def _afb1d_corr_conv(x, h0_taps, h1_taps, mode, axis):
+    """Conv-path implementation (semantics source + CPU path)."""
     axis = axis % 4
     N = x.shape[axis]
     L = len(h0_taps)
@@ -139,6 +166,31 @@ def afb1d(x, h0, h1, mode="zero", axis=-1):
 
 
 def _afb1d_atrous_corr(x, h0_taps, h1_taps, mode, axis, dilation):
+    from pytorch_wavelets_tpu.ops import banded
+    axis = axis % 4
+    n = x.shape[axis]
+    if banded.matmul_enabled(n):
+        T = _afb_atrous_matrix(tuple(h0_taps), tuple(h1_taps), mode,
+                               dilation, n)
+        if axis == 2:
+            y = banded.apply_col(x, T)
+            return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
+        y = banded.apply_row(x, T)
+        y = y.reshape(*y.shape[:3], 2, -1)
+        return jnp.moveaxis(y, 3, 2)
+    return _afb1d_atrous_corr_conv(x, h0_taps, h1_taps, mode, axis,
+                                   dilation)
+
+
+@lru_cache(maxsize=None)
+def _afb_atrous_matrix(h0, h1, mode, dilation, n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.probe_op(
+        lambda I: _afb1d_atrous_corr_conv(I, np.asarray(h0), np.asarray(h1),
+                                          mode, 2, dilation), n)
+
+
+def _afb1d_atrous_corr_conv(x, h0_taps, h1_taps, mode, axis, dilation):
     """Undecimated (à trous) analysis split (reference:
     dwt/lowlevel.py:175-223)."""
     L = len(h0_taps)
@@ -163,7 +215,36 @@ def _sfb1d_conv(lo, hi, g0_taps, g1_taps, mode, axis):
     dwt/lowlevel.py:226-271).
 
     lo/hi: (N, C, H, W).  Returns (N, C, H', W').
+    Dispatches to the MXU operator-matmul fast path off-CPU.
     """
+    from pytorch_wavelets_tpu.ops import banded
+    axis = axis % 4
+    n = lo.shape[axis]
+    if banded.matmul_enabled(2 * n):
+        T = _sfb_matrix(tuple(g0_taps), tuple(g1_taps), mode, n)
+        xcat = jnp.concatenate([lo, hi], axis=axis)
+        if axis == 2:
+            return banded.apply_col(xcat, T)
+        return banded.apply_row(xcat, T)
+    return _sfb1d_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis)
+
+
+@lru_cache(maxsize=None)
+def _sfb_matrix(g0, g1, mode, n):
+    """Operator matrix of the synthesis merge on concat(lo, hi)."""
+    from pytorch_wavelets_tpu.ops import banded
+
+    def fn(I):  # I: (1, 1, 2n, 2n) identity over the concatenated input
+        lo = I[:, :, :n]
+        hi = I[:, :, n:]
+        return _sfb1d_conv_conv(lo, hi, np.asarray(g0), np.asarray(g1),
+                                mode, 2)
+
+    return banded.probe_op(fn, 2 * n)
+
+
+def _sfb1d_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis):
+    """Conv-path implementation (semantics source + CPU path)."""
     axis = axis % 4
     L = len(g0_taps)
     Nin = lo.shape[axis]
@@ -201,6 +282,33 @@ def sfb1d(lo, hi, g0, g1, mode="zero", axis=-1):
 
 
 def _sfb1d_atrous_conv(lo, hi, g0_taps, g1_taps, mode, axis, dilation):
+    from pytorch_wavelets_tpu.ops import banded
+    axis = axis % 4
+    n = lo.shape[axis]
+    if banded.matmul_enabled(2 * n):
+        T = _sfb_atrous_matrix(tuple(g0_taps), tuple(g1_taps), mode,
+                               dilation, n)
+        xcat = jnp.concatenate([lo, hi], axis=axis)
+        if axis == 2:
+            return banded.apply_col(xcat, T)
+        return banded.apply_row(xcat, T)
+    return _sfb1d_atrous_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis,
+                                   dilation)
+
+
+@lru_cache(maxsize=None)
+def _sfb_atrous_matrix(g0, g1, mode, dilation, n):
+    from pytorch_wavelets_tpu.ops import banded
+
+    def fn(I):
+        return _sfb1d_atrous_conv_conv(I[:, :, :n], I[:, :, n:],
+                                       np.asarray(g0), np.asarray(g1),
+                                       mode, 2, dilation)
+
+    return banded.probe_op(fn, 2 * n)
+
+
+def _sfb1d_atrous_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis, dilation):
     """Undecimated synthesis: adjoint of the à trous analysis, averaging the
     two shift-interleaved reconstructions.  (The reference's swt_inverse.py
     is dead code — reference: dwt/swt_inverse.py:1-204 has no imports — so

@@ -1,0 +1,90 @@
+"""Operator-matrix (banded matmul) fast path for 1-D filterbank ops.
+
+Why: XLA lowers the depthwise separable-filter convs this library needs to
+~2 GB/s effective bandwidth on TPU (measured on v5e) — the conv units want
+big channel contractions, not 5..20-tap depthwise stencils.  The TPU-native
+formulation is to express each linear 1-D op (analysis split, synthesis
+merge, q-shift decimation/interpolation, a trous, non-decimated filter) as
+a dense banded operator matrix T and evaluate it as ONE MXU matmul over
+the filtered axis:  col op:  y[m, w] = sum_h T[m, h] x[h, w]
+                    row op:  y[h, m] = sum_w T[m, w] x[h, w]
+
+T is built at trace time by *probing* the verified conv-path
+implementation with an N x N identity image on the host CPU (the ops are
+linear, so op(I) IS the operator matrix — boundary modes, strides, phase
+splits and interleaves all fold in exactly).  Probes are cached per
+(op, taps, mode, N).
+
+The extra multiply-by-zero FLOPs (N/L per output) are free next to the
+bandwidth this saves; measured end-to-end DTCWT goes ~40x faster than the
+conv path on v5e.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
+           "MAX_MATMUL_N"]
+
+# Above this axis length the dense operator matrix costs more FLOPs/memory
+# than it saves; fall back to the conv path (a block-banded matmul path can
+# raise this later).
+MAX_MATMUL_N = 4096
+
+_FORCE = None  # None = auto (matmul unless CPU backend); True/False force
+
+
+def set_operator_matmul(enabled):
+    """Force the operator-matmul fast path on/off (None = auto)."""
+    global _FORCE
+    _FORCE = enabled
+
+
+def matmul_enabled(n: int) -> bool:
+    if _FORCE is not None:
+        return bool(_FORCE) and n <= MAX_MATMUL_N
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend != "cpu" and n <= MAX_MATMUL_N
+
+
+@lru_cache(maxsize=None)
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def probe_op(fn, n: int) -> np.ndarray:
+    """Extract the operator matrix of a linear column-op.
+
+    fn maps (1, 1, n, n) -> (1, 1, ..., m, n) acting along axis -2,
+    uniformly over the last axis.  Feeding the identity as the image makes
+    column j of the output the response to basis vector e_j.  Runs eagerly
+    on host CPU even inside a jit trace.
+    """
+    eye = np.eye(n, dtype=np.float32)[None, None]
+    with jax.ensure_compile_time_eval():
+        with jax.default_device(_cpu_device()):
+            out = np.asarray(fn(jnp.asarray(eye)))
+    # (1, 1, ..., m, n) -> (prod(band_dims) * m, n)
+    return out.reshape(-1, n)
+
+
+def apply_col(x, T):
+    """y[..., m, w] = sum_h T[m, h] * x[..., h, w] as an MXU matmul."""
+    Tj = jnp.asarray(T, dtype=x.dtype)
+    return jnp.einsum("mh,nchw->ncmw", Tj, x,
+                      precision=lax.Precision.HIGHEST)
+
+
+def apply_row(x, T):
+    """y[..., h, m] = sum_w T[m, w] * x[..., h, w] as an MXU matmul."""
+    Tj = jnp.asarray(T, dtype=x.dtype)
+    return jnp.einsum("mw,nchw->nchm", Tj, x,
+                      precision=lax.Precision.HIGHEST)

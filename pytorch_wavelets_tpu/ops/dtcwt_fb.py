@@ -14,6 +14,7 @@ application order.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +39,26 @@ def _filter_axis(x, taps, axis, mode):
     """Non-decimated filter along ``axis`` with symmetric or zero boundary.
 
     Output length = N (odd taps) or N + 1 (even taps), matching reference
-    colfilter/rowfilter (dtcwt/lowlevel.py:70-94)."""
+    colfilter/rowfilter (dtcwt/lowlevel.py:70-94).
+    Dispatches to the MXU operator-matmul fast path off-CPU."""
+    from pytorch_wavelets_tpu.ops import banded
+    n = x.shape[axis % 4]
+    if banded.matmul_enabled(n):
+        T = _filter_matrix(tuple(np.asarray(taps).ravel()), mode, n)
+        if axis % 4 == 2:
+            return banded.apply_col(x, T)
+        return banded.apply_row(x, T)
+    return _filter_axis_conv(x, taps, axis, mode)
+
+
+@lru_cache(maxsize=None)
+def _filter_matrix(taps, mode, n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.probe_op(
+        lambda I: _filter_axis_conv(I, np.asarray(taps), 2, mode), n)
+
+
+def _filter_axis_conv(x, taps, axis, mode):
     taps = np.asarray(taps, dtype=np.float64)
     L = len(taps)
     m = L // 2
@@ -76,6 +96,28 @@ def _dfilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
     if n % 4 != 0:
         raise ValueError(
             f"Length of axis {axis} must be a multiple of 4, got {n}")
+    from pytorch_wavelets_tpu.ops import banded
+    if banded.matmul_enabled(n):
+        T = _dfilt_matrix(tuple(np.asarray(ha_taps).ravel()),
+                          tuple(np.asarray(hb_taps).ravel()),
+                          bool(highpass), n)
+        if axis == 2:
+            return banded.apply_col(x, T)
+        return banded.apply_row(x, T)
+    return _dfilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis)
+
+
+@lru_cache(maxsize=None)
+def _dfilt_matrix(ha, hb, highpass, n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.probe_op(
+        lambda I: _dfilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
+                                   highpass, "symmetric", 2), n)
+
+
+def _dfilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis):
+    axis = axis % 4
+    n = x.shape[axis]
     ha = np.asarray(ha_taps, dtype=np.float64)
     hb = np.asarray(hb_taps, dtype=np.float64)
     m = len(ha)
@@ -145,6 +187,28 @@ def _ifilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
     if n % 2 != 0:
         raise ValueError(
             f"Length of axis {axis} must be a multiple of 2, got {n}")
+    from pytorch_wavelets_tpu.ops import banded
+    if banded.matmul_enabled(n):
+        T = _ifilt_matrix(tuple(np.asarray(ha_taps).ravel()),
+                          tuple(np.asarray(hb_taps).ravel()),
+                          bool(highpass), n)
+        if axis == 2:
+            return banded.apply_col(x, T)
+        return banded.apply_row(x, T)
+    return _ifilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis)
+
+
+@lru_cache(maxsize=None)
+def _ifilt_matrix(ha, hb, highpass, n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.probe_op(
+        lambda I: _ifilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
+                                   highpass, "symmetric", 2), n)
+
+
+def _ifilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis):
+    axis = axis % 4
+    n = x.shape[axis]
     ha = np.asarray(ha_taps, dtype=np.float64)
     hb = np.asarray(hb_taps, dtype=np.float64)
     m = len(ha)

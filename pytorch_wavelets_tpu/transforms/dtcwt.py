@@ -16,7 +16,110 @@ import numpy as np
 
 from pytorch_wavelets_tpu.ops.dtcwt_fb import (
     c2q, coldfilt, colfilter, colifilt, q2c, rowdfilt, rowfilter, rowifilt,
+    _dfilt_matrix, _filter_matrix, _ifilt_matrix,
 )
+
+
+def _taps_key(taps):
+    return tuple(float(v) for v in np.asarray(taps).ravel())
+
+
+def _fused_analysis_j1(x, h0, h1, h2, o_dim, mode):
+    """Parity-folded matmul path for level-1 analysis (h2 optional for the
+    bandpass-diagonal variant).  Returns None if not applicable."""
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    H, W = x.shape[2], x.shape[3]
+    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+        return None
+    k0, k1 = _taps_key(h0), _taps_key(h1)
+    Cl, Ch = _filter_matrix(k0, mode, H), _filter_matrix(k1, mode, H)
+    Rl, Rh = _filter_matrix(k0, mode, W), _filter_matrix(k1, mode, W)
+    mats = [Cl, Ch, Rl, Rh]
+    if h2 is not None:
+        k2 = _taps_key(h2)
+        C2, R2 = _filter_matrix(k2, mode, H), _filter_matrix(k2, mode, W)
+        mats += [C2, R2]
+    if any(m.shape[0] % 2 for m in mats):
+        return None  # even-length filters give odd outputs; q2c undefined
+    hh_spec = (R2, C2) if h2 is not None else (Rh, Ch)
+    return fused_dtcwt.analysis_level(
+        x, (Rl, Cl), (Rl, Ch), (Rh, Cl), hh_spec, o_dim)
+
+
+def _fused_analysis_j2(x, h0a, h1a, h0b, h1b, h2a, h2b, o_dim, mode):
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    if mode != "symmetric":
+        return None
+    H, W = x.shape[2], x.shape[3]
+    if H % 4 or W % 4:
+        return None
+    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+        return None
+    kl = (_taps_key(h0b), _taps_key(h0a))
+    kh = (_taps_key(h1b), _taps_key(h1a))
+    Cl, Ch = _dfilt_matrix(*kl, False, H), _dfilt_matrix(*kh, True, H)
+    Rl, Rh = _dfilt_matrix(*kl, False, W), _dfilt_matrix(*kh, True, W)
+    if h2a is not None:
+        kb = (_taps_key(h2b), _taps_key(h2a))
+        C2, R2 = _dfilt_matrix(*kb, True, H), _dfilt_matrix(*kb, True, W)
+        hh_spec = (R2, C2)
+    else:
+        hh_spec = (Rh, Ch)
+    return fused_dtcwt.analysis_level(
+        x, (Rl, Cl), (Rl, Ch), (Rh, Cl), hh_spec, o_dim)
+
+
+def _fused_synthesis_j1(ll, highr, highi, g0, g1, g2, o_dim, h_dim, w_dim,
+                        mode):
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    hh, ww = highr.shape[h_dim], highr.shape[w_dim]
+    if not (banded.matmul_enabled(2 * hh) and banded.matmul_enabled(2 * ww)):
+        return None
+    k0, k1 = _taps_key(g0), _taps_key(g1)
+    C0, C1 = _filter_matrix(k0, mode, 2 * hh), _filter_matrix(k1, mode,
+                                                              2 * hh)
+    R0, R1 = _filter_matrix(k0, mode, 2 * ww), _filter_matrix(k1, mode,
+                                                              2 * ww)
+    if g2 is not None:
+        k2 = _taps_key(g2)
+        C2 = _filter_matrix(k2, mode, 2 * hh)
+        R2 = _filter_matrix(k2, mode, 2 * ww)
+        hh_spec, hl_spec = (R2, C2), (R1, C0)
+    else:
+        hh_spec, hl_spec = (R1, C1), (R1, C0)
+    if ll is not None:
+        ll = _crop_ll(ll, highr, h_dim, w_dim)
+        if ll.shape[2] != 2 * hh or ll.shape[3] != 2 * ww:
+            return None
+    return fused_dtcwt.synthesis_level(
+        ll, highr, highi, (R0, C0), (R0, C1), hl_spec, hh_spec, o_dim)
+
+
+def _fused_synthesis_j2(ll, highr, highi, g0a, g1a, g0b, g1b, g2a, g2b,
+                        o_dim, h_dim, w_dim, mode):
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    if mode != "symmetric":
+        return None
+    hh, ww = highr.shape[h_dim], highr.shape[w_dim]
+    if not (banded.matmul_enabled(2 * hh) and banded.matmul_enabled(2 * ww)):
+        return None
+    kl = (_taps_key(g0b), _taps_key(g0a))
+    kh = (_taps_key(g1b), _taps_key(g1a))
+    C0, C1 = _ifilt_matrix(*kl, False, 2 * hh), _ifilt_matrix(*kh, True,
+                                                              2 * hh)
+    R0, R1 = _ifilt_matrix(*kl, False, 2 * ww), _ifilt_matrix(*kh, True,
+                                                              2 * ww)
+    if g2a is not None:
+        kb = (_taps_key(g2b), _taps_key(g2a))
+        C2 = _ifilt_matrix(*kb, True, 2 * hh)
+        R2 = _ifilt_matrix(*kb, True, 2 * ww)
+        hh_spec, hl_spec = (R2, C2), (R1, C0)
+    else:
+        hh_spec, hl_spec = (R1, C1), (R1, C0)
+    if ll is not None and (ll.shape[2] != 2 * hh or ll.shape[3] != 2 * ww):
+        return None
+    return fused_dtcwt.synthesis_level(
+        ll, highr, highi, (R0, C0), (R0, C1), hl_spec, hh_spec, o_dim)
 
 __all__ = [
     "get_dimensions5", "get_dimensions6",
@@ -98,6 +201,9 @@ def orientations_to_highs(reals, imags, o_dim):
 def fwd_j1(x, h0, h1, skip_hps, o_dim, mode):
     """Level-1 analysis (reference: transform_funcs.py:98-121)."""
     if not skip_hps:
+        fused = _fused_analysis_j1(x, h0, h1, None, o_dim, mode)
+        if fused is not None:
+            return fused
         lo = rowfilter(x, h0, mode)
         hi = rowfilter(x, h1, mode)
         ll = colfilter(lo, h0, mode)
@@ -115,6 +221,9 @@ def fwd_j1_rot(x, h0, h1, h2, skip_hps, o_dim, mode):
     """Level-1 analysis with the bandpass-diagonal (rotationally symmetric)
     filter h2 on the HH branch (reference: transform_funcs.py:124-149)."""
     if not skip_hps:
+        fused = _fused_analysis_j1(x, h0, h1, h2, o_dim, mode)
+        if fused is not None:
+            return fused
         lo = rowfilter(x, h0, mode)
         hi = rowfilter(x, h1, mode)
         ba = rowfilter(x, h2, mode)
@@ -143,6 +252,10 @@ def inv_j1(ll, highr, highi, g0, g1, o_dim, h_dim, w_dim, mode):
     """Level-1 synthesis (reference: transform_funcs.py:152-184)."""
     if highr is None:
         return rowfilter(colfilter(ll, g0), g0)
+    fused = _fused_synthesis_j1(ll, highr, highi, g0, g1, None, o_dim,
+                                h_dim, w_dim, mode)
+    if fused is not None:
+        return fused
     lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
     if ll is None:
         hi = colfilter(hh, g1, mode) + colfilter(hl, g0, mode)
@@ -159,6 +272,10 @@ def inv_j1_rot(ll, highr, highi, g0, g1, g2, o_dim, h_dim, w_dim, mode):
     transform_funcs.py:187-223)."""
     if highr is None:
         return rowfilter(colfilter(ll, g0), g0)
+    fused = _fused_synthesis_j1(ll, highr, highi, g0, g1, g2, o_dim,
+                                h_dim, w_dim, mode)
+    if fused is not None:
+        return fused
     lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
     if ll is None:
         lo = colfilter(lh, g1, mode)
@@ -177,6 +294,10 @@ def fwd_j2plus(x, h0a, h1a, h0b, h1b, skip_hps, o_dim, mode):
     """Level>=2 analysis with q-shift trees (reference:
     transform_funcs.py:226-249)."""
     if not skip_hps:
+        fused = _fused_analysis_j2(x, h0a, h1a, h0b, h1b, None, None,
+                                   o_dim, mode)
+        if fused is not None:
+            return fused
         lo = rowdfilt(x, h0b, h0a, False, mode)
         hi = rowdfilt(x, h1b, h1a, True, mode)
         ll = coldfilt(lo, h0b, h0a, False, mode)
@@ -195,6 +316,10 @@ def fwd_j2plus_rot(x, h0a, h1a, h0b, h1b, h2a, h2b, skip_hps, o_dim, mode):
     """Level>=2 analysis, bandpass-diagonal variant (reference:
     transform_funcs.py:252-276)."""
     if not skip_hps:
+        fused = _fused_analysis_j2(x, h0a, h1a, h0b, h1b, h2a, h2b,
+                                   o_dim, mode)
+        if fused is not None:
+            return fused
         lo = rowdfilt(x, h0b, h0a, False, mode)
         hi = rowdfilt(x, h1b, h1a, True, mode)
         ba = rowdfilt(x, h2b, h2a, True, mode)
@@ -216,6 +341,10 @@ def inv_j2plus(ll, highr, highi, g0a, g1a, g0b, g1b, o_dim, h_dim, w_dim,
     if highr is None:
         return rowifilt(colifilt(ll, g0b, g0a, False, mode), g0b, g0a,
                         False, mode)
+    fused = _fused_synthesis_j2(ll, highr, highi, g0a, g1a, g0b, g1b,
+                                None, None, o_dim, h_dim, w_dim, mode)
+    if fused is not None:
+        return fused
     lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
     if ll is None:
         hi = (colifilt(hh, g1b, g1a, True, mode) +
@@ -237,6 +366,10 @@ def inv_j2plus_rot(ll, highr, highi, g0a, g1a, g0b, g1b, g2a, g2b,
     if highr is None:
         return rowifilt(colifilt(ll, g0b, g0a, False, mode), g0b, g0a,
                         False, mode)
+    fused = _fused_synthesis_j2(ll, highr, highi, g0a, g1a, g0b, g1b,
+                                g2a, g2b, o_dim, h_dim, w_dim, mode)
+    if fused is not None:
+        return fused
     lh, hl, hh = orientations_to_highs(highr, highi, o_dim)
     if ll is None:
         lo = colifilt(lh, g1b, g1a, True, mode)
