@@ -8,3 +8,6 @@ from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (  # noqa: F401
 from pytorch_wavelets_tpu.transforms.scatternet import (  # noqa: F401
     scat_layer_j1, scat_layer_j2, smooth_mag, avg_pool2,
 )
+from pytorch_wavelets_tpu.transforms.dtcwt_alt import (  # noqa: F401
+    cplxdual2d, icplxdual2d, DTCWTForward2, DTCWTInverse2,
+)

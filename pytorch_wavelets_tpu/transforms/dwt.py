@@ -207,7 +207,11 @@ def dwt2d(x, wave="db1", J=1, mode="zero"):
     yh = []
     ll = x
     for _ in range(J):
-        op = _make_afb2d_op(h0c, h1c, h0r, h1r, mode, ll.shape)
+        # Note the reference feeds its "col" buffers into AFB2D's *row*
+        # argument slots (dwt/transform2d.py:70-71 vs dwt/lowlevel.py:336),
+        # so the first pair of a 4-tuple wave filters along W.  Replicated
+        # here by swapping the pairs (invisible when col == row filters).
+        op = _make_afb2d_op(h0r, h1r, h0c, h1c, mode, ll.shape)
         ll, high = op(ll)
         yh.append(high)
     return ll, yh
@@ -228,7 +232,9 @@ def idwt2d(coeffs, wave="db1", mode="zero"):
             ll = ll[..., :-1, :]
         if ll.shape[-1] > h.shape[-1]:
             ll = ll[..., :-1]
-        op = _make_sfb2d_op(g0c, g1c, g0r, g1r, mode,
+        # pair swap mirroring the reference's SFB2D argument-order quirk
+        # (dwt/transform2d.py:146-147 vs dwt/lowlevel.py:671)
+        op = _make_sfb2d_op(g0r, g1r, g0c, g1c, mode,
                             (h.shape[-2], h.shape[-1]))
         ll = op(ll, h)
     return ll

@@ -1,0 +1,71 @@
+"""4-DWT DTCWT formulation parity vs reference lowlevel2."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pytorch_wavelets_tpu.transforms.dtcwt_alt import (
+    DTCWTForward2, DTCWTInverse2, cplxdual2d, icplxdual2d,
+)
+from tests.reference_oracle import load_reference
+
+ATOL = 2e-5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def test_forward2_matches_reference(ref):
+    torch, _ = ref
+    from pytorch_wavelets.dtcwt.lowlevel2 import DTCWTForward2 as RefF
+    x = _rand((2, 3, 64, 64))
+    lows_t, yh_t = RefF(J=3)(torch.from_numpy(x))
+    lows, yh = DTCWTForward2(J=3)(jnp.asarray(x))
+    for m in range(2):
+        for n in range(2):
+            np.testing.assert_allclose(np.asarray(lows[m][n]),
+                                       lows_t[m][n].numpy(), atol=ATOL)
+    for a, b in zip(yh, yh_t):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=ATOL)
+    # NOTE: the reference's DTCWTInverse2 does not invert its own forward
+    # (45/135-degree wiring crossed vs DTCWTForward2; its roundtrip error
+    # is ~4.5 on randn input) — so the inverse oracle is perfect
+    # reconstruction, not the reference.
+    rec = DTCWTInverse2()((lows, yh))
+    np.testing.assert_allclose(np.asarray(rec), x, atol=1e-4)
+
+
+def test_cplxdual_matches_reference(ref):
+    torch, _ = ref
+    from pytorch_wavelets.dtcwt.lowlevel2 import cplxdual2D
+    x = _rand((1, 2, 64, 64), seed=1)
+    # reference default periodization mode crashes in its own mypad for
+    # atrous-free afb2d? No - afb2d supports periodization; use both modes
+    for mode in ["periodization", "symmetric"]:
+        lows_t, yh_t = cplxdual2D(torch.from_numpy(x), J=2, mode=mode)
+        lows, yh = cplxdual2d(jnp.asarray(x), J=2, mode=mode)
+        for m in range(2):
+            for n in range(2):
+                np.testing.assert_allclose(np.asarray(lows[m][n]),
+                                           lows_t[m][n].numpy(), atol=ATOL)
+        for a, b in zip(yh, yh_t):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=ATOL)
+        rec = icplxdual2d(lows, yh, mode=mode)
+        np.testing.assert_allclose(np.asarray(rec), x, atol=1e-4)
+
+
+def test_cplxdual_mag(ref):
+    torch, _ = ref
+    from pytorch_wavelets.dtcwt.lowlevel2 import cplxdual2D
+    x = _rand((1, 1, 32, 32), seed=2)
+    _, yh_t = cplxdual2D(torch.from_numpy(x), J=1, mode="symmetric",
+                         mag=True)
+    _, yh = cplxdual2d(jnp.asarray(x), J=1, mode="symmetric", mag=True)
+    np.testing.assert_allclose(np.asarray(yh[0]), yh_t[0].numpy(),
+                               atol=ATOL)
