@@ -89,14 +89,16 @@ class SWTForward(StaticModule):
 
 
 class SWTInverse(StaticModule):
-    """Inverse SWT — exact inverse of :class:`SWTForward`.  (The reference
-    ships only dead code for this, dwt/swt_inverse.py; this is a working
-    TPU-native implementation.)"""
+    """Inverse SWT — exact inverse of :class:`SWTForward` for every
+    boundary mode, via trace-time pseudo-inverses of the analysis operator
+    matrices.  (The reference ships only dead code for this,
+    dwt/swt_inverse.py.)  ``wave`` must name the *analysis* wavelet used by
+    SWTForward (tuples are interpreted as dec filters)."""
     _fields = ("mode", "_filters")
 
     def __init__(self, wave="db1", mode="periodization"):
         self._set("mode", mode)
-        self._set("_filters", rec_filters(wave))
+        self._set("_filters", dec_filters(wave))
 
     def __call__(self, coeffs):
         return iswt2d(coeffs, self._filters, mode=self.mode)

@@ -286,13 +286,47 @@ def swt2d(x, wave="db1", J=1, mode="periodization"):
 
 
 def iswt2d(coeffs, wave="db1", mode="periodization"):
-    """Inverse SWT: exact inverse of :func:`swt2d` (the reference ships only
-    a broken/dead swt_inverse.py; this is a working equivalent)."""
-    g0c, g1c, g0r, g1r = rec_filters(wave)
+    """Inverse SWT: exact inverse of :func:`swt2d` for every boundary mode.
+
+    The undecimated analysis along one axis is a tall (2n x n) operator
+    matrix T = [T_lo; T_hi]; its Moore-Penrose pseudo-inverse (built once at
+    trace time from the probed analysis matrices) reconstructs exactly for
+    any mode, including the non-periodic ones where the classic
+    shift-averaged ISWT is only boundary-approximate.  (The reference ships
+    only dead code for the inverse SWT — dwt/swt_inverse.py has no
+    imports.)
+
+    ``wave`` must resolve to the *analysis* filters used by swt2d.
+    """
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
+    h0c, h1c, h0r, h1r = dec_filters(wave)
+    rh0c, rh1c = _tup(_rev(h0c)), _tup(_rev(h1c))
+    rh0r, rh1r = _tup(_rev(h0r)), _tup(_rev(h1r))
     J = len(coeffs)
     ll = coeffs[-1][:, :, 0]
     for j in range(J - 1, -1, -1):
         y = coeffs[j]
-        stacked = jnp.concatenate([ll[:, :, None], y[:, :, 1:]], axis=2)
-        ll = sfb2d_atrous(stacked, g0c, g1c, g0r, g1r, mode, 2 ** j)
+        N, C, _, H, W = y.shape
+        Tc_inv = _iswt_pinv(rh0c, rh1c, mode, 2 ** j, H)
+        Tr_inv = _iswt_pinv(rh0r, rh1r, mode, 2 ** j, W)
+        bands = jnp.concatenate([ll[:, :, None], y[:, :, 1:]], axis=2)
+        # undo the column (H) pass per row-branch: [ll;lh] -> lo_r,
+        # [hl;hh] -> hi_r
+        lo_r = banded.apply_col(
+            jnp.concatenate([bands[:, :, 0], bands[:, :, 1]], axis=2),
+            Tc_inv)
+        hi_r = banded.apply_col(
+            jnp.concatenate([bands[:, :, 2], bands[:, :, 3]], axis=2),
+            Tc_inv)
+        # undo the row (W) pass
+        ll = banded.apply_row(jnp.concatenate([lo_r, hi_r], axis=3), Tr_inv)
     return ll
+
+
+@lru_cache(maxsize=None)
+def _iswt_pinv(rh0, rh1, mode, dilation, n):
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
+    T = _afb_atrous_matrix(rh0, rh1, mode, dilation, n)  # (2n, n)
+    return np.linalg.pinv(np.asarray(T, dtype=np.float64)).astype(
+        np.float32)

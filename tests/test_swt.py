@@ -39,14 +39,18 @@ def test_swt_j1_matches_reference(ref, wave, mode):
     np.testing.assert_allclose(np.asarray(y), y_t.numpy(), atol=ATOL)
 
 
-@pytest.mark.parametrize("wave", ["db1", "db2", "db4", "sym4"])
-@pytest.mark.parametrize("mode", ["periodic", "periodization"])
+@pytest.mark.parametrize("wave", ["db1", "db2", "db4", "sym4", "bior2.4"])
+@pytest.mark.parametrize("mode", ["periodic", "periodization", "symmetric",
+                                  "zero"])
 def test_iswt_roundtrip(wave, mode):
+    """Exact inverse for every boundary mode (pseudo-inverse of the
+    analysis operator; the shift-averaged classic ISWT is only
+    boundary-exact for periodic modes)."""
     x = jnp.asarray(_rand((2, 3, 64, 64), seed=1))
     fwd = tw.SWTForward(J=3, wave=wave, mode=mode)
     inv = tw.SWTInverse(wave=wave, mode=mode)
     rec = inv(fwd(x))
-    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-4)
 
 
 def test_swt_shapes():
