@@ -1,18 +1,26 @@
 """Fully-fused DTCWT level transforms: separable filtering, decimation,
 q-shift phase logic AND the quad->complex corner sampling all folded into
-MXU matmuls, executed as VMEM-resident Pallas "sandwich" kernels
-(Y = C @ X @ R^T per plane).
+a handful of large MXU matmuls per level.
 
-Motivation: q2c/c2q are stride-2 corner gathers on the lane axis — slow
-vector shuffles on TPU.  The corner parity of an output equals the parity
-of the corresponding operator-matrix row, so slicing the *matrices* at
-trace time removes every strided memory access from the compiled program:
+Two structural tricks (both trace-time, both exact):
 
-    a = lh[::2, ::2] = (Pe C) x (Pe R)^T
+1. *Corner-parity folding* — q2c/c2q are stride-2 corner gathers on the
+   lane axis, which are slow vector shuffles on TPU.  The corner parity of
+   an output equals the parity of the corresponding operator-matrix row,
+   so slicing the *matrices* at trace time removes every strided memory
+   access from the compiled program:  a = lh[::2, ::2] = (Pe C) x (Pe R).
 
-One analysis level = 5 sandwiches (4 row-parity groups with the column
-matrices of both subbands stacked, + the lowpass), each reading x exactly
-once.  Semantics are pinned to the unfused ops (reference:
+2. *Shared-stage planning* — all subbands of a level read the same input,
+   so the level is emitted as ONE stage-1 dot with every row operator
+   stacked on the output axis (Z = R_all @ x on the W axis), then one
+   stage-2 dot per column-operator group over its slice of Z.  This
+   replaces 5 two-dot "sandwiches" (10 dots, 5 reads of x, 5 HBM
+   intermediates) with 3 dots, 1 read of x and 1 shared intermediate.
+   Synthesis mirrors it: one stage-1 dot per subband group applying the
+   row operators, one stage-2 dot applying every column operator at once
+   via a single contraction over the concatenated intermediates.
+
+Semantics are pinned to the unfused ops (reference:
 dtcwt/lowlevel.py:70-295, transform_funcs.py:61-95) by
 tests/test_fused_dtcwt.py.
 """
@@ -22,21 +30,34 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
-
-from pytorch_wavelets_tpu.ops.pallas_kernels import sandwich
+from jax import lax
 
 __all__ = ["analysis_level", "synthesis_level"]
 
 _SQRT2 = math.sqrt(2.0)
 
 
-def _stack(*mats):
+def _cat(*mats):
     return np.ascontiguousarray(np.concatenate(mats, axis=0))
+
+
+def _row_stage(x, R_all):
+    """Z[..., h, k] = sum_w R_all[k, w] x[..., h, w] — one MXU dot."""
+    Rj = jnp.asarray(R_all, dtype=x.dtype)
+    return jnp.einsum("kw,bchw->bchk", Rj, x,
+                      precision=lax.Precision.HIGHEST)
+
+
+def _col_stage(z, C):
+    """Y[..., m, k] = sum_h C[m, h] z[..., h, k] — one MXU dot."""
+    Cj = jnp.asarray(C, dtype=z.dtype)
+    return jnp.einsum("mh,bchk->bcmk", Cj, z,
+                      precision=lax.Precision.HIGHEST)
 
 
 def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
                    skip_hps=False):
-    """One DTCWT analysis level as parity-folded sandwich matmuls.
+    """One DTCWT analysis level as shared-stage parity-folded matmuls.
 
     Each spec is (R, C): the row (W' x W) and column (H' x H) operator
     matrices (numpy, trace-time constants) of that subband's separable
@@ -46,33 +67,45 @@ def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
     (15, 45, 75, 105, 135, 165 degrees) stacked on ``o_dim``.
     """
     R_ll, C_ll = ll_spec
-    ll = sandwich(x, C_ll, R_ll)
     if skip_hps:
-        return ll, None, None
+        return _col_stage(_row_stage(x, R_ll), C_ll), None, None
 
-    # group subbands by their row operator so each sandwich reads x once
+    # group subbands by their row operator so Z carries each only once
     groups: dict = {}
     for name, (R, C) in (("lh", lh_spec), ("hl", hl_spec),
                          ("hh", hh_spec)):
         groups.setdefault(id(R), (R, []))[1].append((name, C))
 
+    # stage 1: single dot with [R_ll; Re, Ro per group] stacked on K
+    blocks = [R_ll]
+    offsets = [(0, R_ll.shape[0])]
+    ofs = R_ll.shape[0]
+    group_list = list(groups.values())
+    for R, _members in group_list:
+        k = R[0::2].shape[0]
+        blocks += [R[0::2], R[1::2]]
+        offsets.append((ofs, 2 * k))
+        ofs += 2 * k
+    z = _row_stage(x, _cat(*blocks))
+
+    # stage 2: one dot per group (plus the lowpass)
+    o0, n0 = offsets[0]
+    ll = _col_stage(z[..., o0:o0 + n0], C_ll)
+
     quads = {}
-    for R, members in groups.values():
-        Cstack = _stack(*[C[p::2] for _, C in members for p in (0, 1)])
-        halves = []
-        for col_parity in (0, 1):
-            out = sandwich(x, Cstack, np.ascontiguousarray(R[col_parity::2]))
-            halves.append(out)
-        ofs = 0
+    for (R, members), (go, gn) in zip(group_list, offsets[1:]):
+        k = gn // 2
+        Cstack = _cat(*[C[p::2] for _, C in members for p in (0, 1)])
+        y = _col_stage(z[..., go:go + gn], Cstack)
+        mofs = 0
         for name, C in members:
             m = C[0::2].shape[0]
-            # row-parity blocks: [even(C) rows..., odd(C) rows...]
-            a = halves[0][:, :, ofs:ofs + m]
-            c = halves[0][:, :, ofs + m:ofs + 2 * m]
-            b = halves[1][:, :, ofs:ofs + m]
-            d = halves[1][:, :, ofs + m:ofs + 2 * m]
+            a = y[:, :, mofs:mofs + m, :k]           # even rows, even cols
+            c = y[:, :, mofs + m:mofs + 2 * m, :k]   # odd rows,  even cols
+            b = y[:, :, mofs:mofs + m, k:]           # even rows, odd cols
+            d = y[:, :, mofs + m:mofs + 2 * m, k:]   # odd rows,  odd cols
             quads[name] = (a, b, c, d)
-            ofs += 2 * m
+            mofs += 2 * m
 
     def q2c_pair(name):
         a, b, c, d = quads[name]
@@ -94,38 +127,57 @@ _SB_ORIENTS = {"lh": (0, 5), "hl": (2, 3), "hh": (1, 4)}
 
 def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
                     o_dim):
-    """One DTCWT synthesis level as parity-folded sandwich matmuls.
+    """One DTCWT synthesis level as shared-stage parity-folded matmuls.
 
     Specs are (R, C) *synthesis* operator matrices: C (H_out x H_band_full)
     and R (W_out x W_band_full) of the unfused colfilter/colifilt +
     rowfilter/rowifilt on the full (interleaved) subband.  c2q's corner
-    scatter becomes input-side parity slices of C and R.  ``ll`` may be
-    None.
+    scatter becomes input-side parity slices of C and R; the four corner
+    tensors per subband are packed as a 2x2 block matrix so each subband
+    costs one row-stage contraction, and a single stage-2 dot applies all
+    column operators at once.  ``ll`` may be None.
     """
     r = jnp.moveaxis(highr, o_dim, 0)
     i = jnp.moveaxis(highi, o_dim, 0)
     s = 1.0 / _SQRT2
 
-    y = None
-    for name, spec in (("lh", lh_spec), ("hl", hl_spec), ("hh", hh_spec)):
-        R, C = spec
-        o1, o2 = _SB_ORIENTS[name]
-        w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
-        # c2q corners (reference dtcwt/lowlevel.py:263-295)
-        x1 = (w1r + w2r) * s     # even row, even col
-        x2 = (w1i + w2i) * s     # even row, odd col
-        x3 = (w1i - w2i) * s     # odd row, even col
-        x4 = (w2r - w1r) * s     # odd row, odd col
-        Ce = np.ascontiguousarray(C[:, 0::2])
-        Co = np.ascontiguousarray(C[:, 1::2])
-        Re = np.ascontiguousarray(R[:, 0::2])
-        Ro = np.ascontiguousarray(R[:, 1::2])
-        contrib = (sandwich(x1, Ce, Re) + sandwich(x2, Ce, Ro) +
-                   sandwich(x3, Co, Re) + sandwich(x4, Co, Ro))
-        y = contrib if y is None else y + contrib
+    # group subbands that share a row operator into one stage-1 dot
+    groups: dict = {}
+    for name, (R, C) in (("lh", lh_spec), ("hl", hl_spec),
+                         ("hh", hh_spec)):
+        groups.setdefault(id(R), (R, []))[1].append((name, C))
+
+    t_blocks = []     # stage-1 outputs (B, c, m_i, W_out)
+    c_blocks = []     # matching column operators (H_out, m_i)
+    for R, members in groups.values():
+        xqs = []
+        for name, C in members:
+            o1, o2 = _SB_ORIENTS[name]
+            w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
+            # c2q corners (reference dtcwt/lowlevel.py:263-295)
+            x1 = (w1r + w2r) * s     # even row, even col
+            x2 = (w1i + w2i) * s     # even row, odd col
+            x3 = (w1i - w2i) * s     # odd row, even col
+            x4 = (w2r - w1r) * s     # odd row, odd col
+            top = jnp.concatenate([x1, x2], axis=-1)
+            bot = jnp.concatenate([x3, x4], axis=-1)
+            xqs.append(jnp.concatenate([top, bot], axis=-2))
+            c_blocks.append(np.ascontiguousarray(
+                np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)))
+        xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
+        Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T)   # (2k, W_out)
+        t_blocks.append(jnp.einsum(
+            "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
+            precision=lax.Precision.HIGHEST))
 
     if ll is not None and ll_spec is not None:
         R, C = ll_spec
-        y_ll = sandwich(ll, C, R)
-        y = y_ll if y is None else y + y_ll
-    return y
+        t_blocks.append(_row_stage(ll, R))
+        c_blocks.append(C)
+
+    t_all = (jnp.concatenate(t_blocks, axis=-2) if len(t_blocks) > 1
+             else t_blocks[0])
+    C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
+    # stage 2: x_hat[h, w] = sum_m C_cat[h, m] t_all[m, w]
+    return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
+                      t_all, precision=lax.Precision.HIGHEST)
