@@ -53,7 +53,8 @@ def main():
 
     @jax.jit
     def chained(z):
-        return lax.fori_loop(0, K, lambda i, a: end_to_end(a), z)
+        # scalar readback: the tunnel moves 4 bytes, not the 6.5 MB image
+        return jnp.sum(lax.fori_loop(0, K, lambda i, a: end_to_end(a), z))
 
     @jax.jit
     def trivial(z):

@@ -20,6 +20,9 @@ if "space-to-batch-converter" not in _flags:
     ).strip()
 
 from pytorch_wavelets_tpu._version import __version__  # noqa: F401
+from pytorch_wavelets_tpu.ops.precision import (  # noqa: F401
+    set_matmul_precision, get_matmul_precision, matmul_precision,
+)
 from pytorch_wavelets_tpu.models import (  # noqa: F401
     DWTForward, DWTInverse, DWT1DForward, DWT1DInverse,
     SWTForward, SWTInverse, DTCWTForward, DTCWTInverse,
@@ -42,5 +45,6 @@ __all__ = [
     "ScatLayer", "ScatLayerj2",
     "DWT", "IDWT", "DWT2D", "IDWT2D", "DWT1D", "IDWT1D",
     "DTCWT", "IDTCWT",
+    "set_matmul_precision", "get_matmul_precision", "matmul_precision",
     "__version__",
 ]

@@ -38,8 +38,10 @@ def as_taps(h) -> np.ndarray:
 
 def _prec(x):
     # fp32 convs on TPU otherwise go through bf16 passes; wavelets need the
-    # full mantissa for perfect reconstruction.
-    return lax.Precision.HIGHEST
+    # full mantissa for perfect reconstruction (configurable via
+    # ops.precision.set_matmul_precision).
+    from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
+    return get_matmul_precision()
 
 
 def _conv_axis(x, kernels, axis, stride=1, lhs_dilation=1, rhs_dilation=1,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
+
 __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
            "MAX_MATMUL_N"]
 
@@ -80,11 +82,11 @@ def apply_col(x, T):
     """y[..., m, w] = sum_h T[m, h] * x[..., h, w] as an MXU matmul."""
     Tj = jnp.asarray(T, dtype=x.dtype)
     return jnp.einsum("mh,nchw->ncmw", Tj, x,
-                      precision=lax.Precision.HIGHEST)
+                      precision=get_matmul_precision())
 
 
 def apply_row(x, T):
     """y[..., h, m] = sum_w T[m, w] * x[..., h, w] as an MXU matmul."""
     Tj = jnp.asarray(T, dtype=x.dtype)
     return jnp.einsum("mw,nchw->nchm", Tj, x,
-                      precision=lax.Precision.HIGHEST)
+                      precision=get_matmul_precision())

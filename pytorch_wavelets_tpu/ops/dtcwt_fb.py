@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
+
 from pytorch_wavelets_tpu.ops.afb_sfb import _conv_axis, as_taps
 from pytorch_wavelets_tpu.ops.pad import pad1d
 
@@ -160,7 +162,7 @@ def _conv_grouped_pair(x, kernels, axis, stride):
     y = lax.conv_general_dilated(
         xr, w, window_strides=strides, padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST)
+        precision=get_matmul_precision())
     return y.reshape(N, C, 2, *y.shape[2:])
 
 
@@ -265,7 +267,7 @@ def _conv_quad(x, kernels, axis):
     y = lax.conv_general_dilated(
         xr, w, window_strides=(1, 1), padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST)
+        precision=get_matmul_precision())
     return y.reshape(N, C, 4, *y.shape[2:])
 
 

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
+
 __all__ = ["analysis_level", "synthesis_level"]
 
 _SQRT2 = math.sqrt(2.0)
@@ -45,14 +47,14 @@ def _row_stage(x, R_all):
     """Z[..., h, k] = sum_w R_all[k, w] x[..., h, w] — one MXU dot."""
     Rj = jnp.asarray(R_all, dtype=x.dtype)
     return jnp.einsum("kw,bchw->bchk", Rj, x,
-                      precision=lax.Precision.HIGHEST)
+                      precision=get_matmul_precision())
 
 
 def _col_stage(z, C):
     """Y[..., m, k] = sum_h C[m, h] z[..., h, k] — one MXU dot."""
     Cj = jnp.asarray(C, dtype=z.dtype)
     return jnp.einsum("mh,bchk->bcmk", Cj, z,
-                      precision=lax.Precision.HIGHEST)
+                      precision=get_matmul_precision())
 
 
 def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
@@ -168,7 +170,7 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
         Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T)   # (2k, W_out)
         t_blocks.append(jnp.einsum(
             "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
-            precision=lax.Precision.HIGHEST))
+            precision=get_matmul_precision()))
 
     if ll is not None and ll_spec is not None:
         R, C = ll_spec
@@ -180,4 +182,4 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
     C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
     # stage 2: x_hat[h, w] = sum_m C_cat[h, m] t_all[m, w]
     return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
-                      t_all, precision=lax.Precision.HIGHEST)
+                      t_all, precision=get_matmul_precision())

@@ -1,0 +1,52 @@
+"""Matmul precision policy: API semantics + the fast paths honour it.
+
+The numerical effect (bf16 pass counts) only exists on TPU; on the CPU
+test backend all levels are exact f32, so here we check plumbing, not
+error magnitudes (those are asserted by the TPU verify recipe).
+"""
+import numpy as np
+import pytest
+from jax import lax
+
+import pytorch_wavelets_tpu as tw
+from pytorch_wavelets_tpu.ops import precision
+
+
+def test_default_is_highest():
+    assert precision.get_matmul_precision() == lax.Precision.HIGHEST
+
+
+def test_set_and_reset():
+    tw.set_matmul_precision("high")
+    try:
+        assert precision.get_matmul_precision() == lax.Precision.HIGH
+    finally:
+        tw.set_matmul_precision("highest")
+    assert precision.get_matmul_precision() == lax.Precision.HIGHEST
+
+
+def test_context_manager_restores():
+    with tw.matmul_precision("default"):
+        assert precision.get_matmul_precision() == lax.Precision.DEFAULT
+    assert precision.get_matmul_precision() == lax.Precision.HIGHEST
+
+
+def test_unknown_level_rejected():
+    with pytest.raises(ValueError):
+        tw.set_matmul_precision("bf16x9")
+
+
+def test_transform_runs_under_each_level():
+    x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+    fwd = tw.DTCWTForward(J=2)
+    inv = tw.DTCWTInverse()
+    ref = None
+    for level in ("highest", "high", "default"):
+        with tw.matmul_precision(level):
+            yl, yh = fwd(x)
+            rec = np.asarray(inv((yl, yh)))
+        assert rec.shape == x.shape
+        if ref is None:
+            ref = rec
+        # CPU backend: all levels exact, so results agree tightly
+        np.testing.assert_allclose(rec, ref, atol=1e-5)
