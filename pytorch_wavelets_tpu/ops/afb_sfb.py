@@ -350,6 +350,22 @@ def afb2d(x, h0_col, h1_col, h0_row, h1_row, mode="zero"):
 
 def _afb2d_corr(x, h0c, h1c, h0r, h1r, mode):
     N, C = x.shape[:2]
+    from pytorch_wavelets_tpu.ops import banded
+    H, W = x.shape[2], x.shape[3]
+    if banded.matmul_enabled(H) and banded.matmul_enabled(W):
+        # fused 2-dot level: both filter pairs stacked inside the operator
+        # matrices, so the four bands come out as quadrants of one matmul
+        # chain (no interleave/moveaxis passes)
+        Tr = _afb_matrix(tuple(h0r), tuple(h1r), mode, W)   # (2W', W)
+        Tc = _afb_matrix(tuple(h0c), tuple(h1c), mode, H)   # (2H', H)
+        y = banded.apply_col(banded.apply_row(x, Tr), Tc)   # (N,C,2H',2W')
+        Hp, Wp = Tc.shape[0] // 2, Tr.shape[0] // 2
+        return jnp.stack([
+            y[:, :, :Hp, :Wp],    # LL: row-lo, col-lo
+            y[:, :, Hp:, :Wp],    # LH: row-lo, col-hi
+            y[:, :, :Hp, Wp:],    # HL: row-hi, col-lo
+            y[:, :, Hp:, Wp:],    # HH: row-hi, col-hi
+        ], axis=2)
     lohi = _afb1d_corr(x, h0r, h1r, mode, axis=3)          # (N,C,2,H,W')
     lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
     y = _afb1d_corr(lohi, h0c, h1c, mode, axis=2)          # (N,2C,2,H',W')
@@ -366,6 +382,18 @@ def sfb2d(ll, lh, hl, hh, g0_col, g1_col, g0_row, g1_row, mode="zero"):
 
 
 def _sfb2d_conv(ll, lh, hl, hh, g0c, g1c, g0r, g1r, mode):
+    from pytorch_wavelets_tpu.ops import banded
+    Hp, Wp = ll.shape[2], ll.shape[3]
+    if (banded.matmul_enabled(2 * Hp) and banded.matmul_enabled(2 * Wp)
+            and lh.shape == ll.shape == hl.shape == hh.shape):
+        # fused 2-dot merge: quadrant-concat the bands, then one column
+        # and one row operator matmul reconstruct in a single chain
+        Sc = _sfb_matrix(tuple(g0c), tuple(g1c), mode, Hp)  # (H_out, 2Hp)
+        Sr = _sfb_matrix(tuple(g0r), tuple(g1r), mode, Wp)  # (W_out, 2Wp)
+        q = jnp.concatenate([
+            jnp.concatenate([ll, hl], axis=3),
+            jnp.concatenate([lh, hh], axis=3)], axis=2)     # (N,C,2Hp,2Wp)
+        return banded.apply_row(banded.apply_col(q, Sc), Sr)
     lo = _sfb1d_conv(ll, lh, g0c, g1c, mode, axis=2)
     hi = _sfb1d_conv(hl, hh, g0c, g1c, mode, axis=2)
     return _sfb1d_conv(lo, hi, g0r, g1r, mode, axis=3)
@@ -379,6 +407,15 @@ def afb2d_atrous(x, h0_col, h1_col, h0_row, h1_row, mode="periodization",
     h0c, h1c = as_taps(h0_col)[::-1], as_taps(h1_col)[::-1]
     h0r, h1r = as_taps(h0_row)[::-1], as_taps(h1_row)[::-1]
     N, C = x.shape[:2]
+    from pytorch_wavelets_tpu.ops import banded
+    H, W = x.shape[2], x.shape[3]
+    if banded.matmul_enabled(H) and banded.matmul_enabled(W):
+        Tr = _afb_atrous_matrix(tuple(h0r), tuple(h1r), mode, dilation, W)
+        Tc = _afb_atrous_matrix(tuple(h0c), tuple(h1c), mode, dilation, H)
+        y = banded.apply_col(banded.apply_row(x, Tr), Tc)   # (N,C,2H,2W)
+        return jnp.stack([
+            y[:, :, :H, :W], y[:, :, H:, :W],
+            y[:, :, :H, W:], y[:, :, H:, W:]], axis=2)
     lohi = _afb1d_atrous_corr(x, h0r, h1r, mode, 3, dilation)
     lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
     y = _afb1d_atrous_corr(lohi, h0c, h1c, mode, 2, dilation)
@@ -393,6 +430,15 @@ def sfb2d_atrous(coeffs, g0_col, g1_col, g0_row, g1_row,
     g0c, g1c = as_taps(g0_col), as_taps(g1_col)
     g0r, g1r = as_taps(g0_row), as_taps(g1_row)
     ll, lh, hl, hh = (coeffs[:, :, i] for i in range(4))
+    from pytorch_wavelets_tpu.ops import banded
+    Hp, Wp = ll.shape[2], ll.shape[3]
+    if banded.matmul_enabled(2 * Hp) and banded.matmul_enabled(2 * Wp):
+        Sc = _sfb_atrous_matrix(tuple(g0c), tuple(g1c), mode, dilation, Hp)
+        Sr = _sfb_atrous_matrix(tuple(g0r), tuple(g1r), mode, dilation, Wp)
+        q = jnp.concatenate([
+            jnp.concatenate([ll, hl], axis=3),
+            jnp.concatenate([lh, hh], axis=3)], axis=2)
+        return banded.apply_row(banded.apply_col(q, Sc), Sr)
     lo = _sfb1d_atrous_conv(ll, lh, g0c, g1c, mode, 2, dilation)
     hi = _sfb1d_atrous_conv(hl, hh, g0c, g1c, mode, 2, dilation)
     return _sfb1d_atrous_conv(lo, hi, g0r, g1r, mode, 3, dilation)

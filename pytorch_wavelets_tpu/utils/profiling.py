@@ -25,20 +25,22 @@ def time_op(fn, x, repeats: int = 100, iters: int = 5) -> float:
 
     @jax.jit
     def chained(z):
-        return lax.fori_loop(0, repeats, lambda i, a: fn(a), z)
+        # scalar readback: keeps the (noisy, multi-ms) tunnel transfer of
+        # the full array out of the measurement
+        return jnp.sum(lax.fori_loop(0, repeats, lambda i, a: fn(a), z))
 
     @jax.jit
     def trivial(z):
-        return z * 1.0
+        return jnp.sum(z) * 0.0
 
-    float(np.asarray(chained(x)).ravel()[0])   # compile
-    float(np.asarray(trivial(x)).ravel()[0])
+    float(np.asarray(chained(x)))   # compile
+    float(np.asarray(trivial(x)))
 
     def best_of(f):
         b = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            float(np.asarray(f(x)).ravel()[0])
+            float(np.asarray(f(x)))
             b = min(b, time.perf_counter() - t0)
         return b
 
