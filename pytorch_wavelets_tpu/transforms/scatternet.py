@@ -11,6 +11,7 @@ swapped q-shift trees, 1/4-nearest-upsample as the avg-pool adjoint).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from pytorch_wavelets_tpu.transforms.dtcwt import (
     fwd_j1_op, fwd_j1_rot_op, fwd_j2plus_op, fwd_j2plus_rot_op,
@@ -33,9 +34,30 @@ def _combined_mag(reals, imags, bias):
     return jnp.sqrt(s + bias * bias) - bias
 
 
+def _pool_matrix(n):
+    P = np.zeros((n // 2, n), dtype=np.float64)
+    P[np.arange(n // 2), 2 * np.arange(n // 2)] = 0.5
+    P[np.arange(n // 2), 2 * np.arange(n // 2) + 1] = 0.5
+    return P
+
+
 def avg_pool2(x):
-    """2x2 average pool on the trailing two dims."""
+    """2x2 average pool on the trailing two dims.
+
+    Off-CPU this runs as two thin operator matmuls (MXU) — the
+    reshape+mean lowering pays a strided lane-reduction pass over the
+    whole array, which profiles as the single largest HBM consumer in the
+    scattering forward."""
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
     *lead, H, W = x.shape
+    if H % 2 == 0 and W % 2 == 0 and banded.matmul_enabled(max(H, W)):
+        Ph = jnp.asarray(_pool_matrix(H), x.dtype)
+        Pw = jnp.asarray(_pool_matrix(W), x.dtype)
+        y = jnp.einsum("mh,...hw->...mw", Ph, x,
+                       precision=get_matmul_precision())
+        return jnp.einsum("kw,...mw->...mk", Pw, y,
+                          precision=get_matmul_precision())
     xr = x.reshape(*lead, H // 2, 2, W // 2, 2)
     return xr.mean(axis=(-3, -1))
 
