@@ -21,6 +21,10 @@ __all__ = [
     "memoize",
     "drawedge",
     "drawcirc",
+    "unpack",
+    "stacked_2d_matrix_vector_prod",
+    "stacked_2d_matrix_matrix_prod",
+    "stacked_2d_vector_matrix_prod",
 ]
 
 # String <-> int codec for padding modes (reference: dwt/lowlevel.py:274-309).
@@ -129,3 +133,44 @@ def drawcirc(r, w, du, dv, N):
             (np.exp(np.array([-0.5]) * (x ** 2 + y ** 2)).T -
              np.exp(-0.5)) * (r * 3 / w), np.pi / (-2)), np.pi / 2))
     return p
+
+
+def unpack(coeffs):
+    """Unpack a transform result into its constituent parts.
+
+    Accepts the (yl, yh) pair returned by DTCWTForward/DWTForward, or the
+    (scales, yh) pair produced under ``include_scale`` — yielding yl, yh
+    (and scales when present), mirroring the reference's pyramid unpacker
+    (reference: pytorch_wavelets/utils.py:9-42; our transforms return
+    plain pytrees instead of backend-specific Pyramid objects, so a
+    2/3-tuple is the only "pyramid" shape here).
+    """
+    first, yh = coeffs[0], coeffs[1]
+    if isinstance(first, (list, tuple)):
+        # include_scale=True: first element is the per-level scales list
+        yield first[-1]
+        yield yh
+        yield first
+    else:
+        yield first
+        yield yh
+        if len(coeffs) > 2 and coeffs[2] is not None:
+            yield coeffs[2]
+
+
+def stacked_2d_matrix_vector_prod(mats, vecs):
+    """result[i, j] = mats[i, j] @ vecs[i, j]
+    (reference: pytorch_wavelets/utils.py:190-203)."""
+    return np.einsum('...ij,...j->...i', mats, vecs)
+
+
+def stacked_2d_matrix_matrix_prod(mats1, mats2):
+    """result[i, j] = mats1[i, j] @ mats2[i, j]
+    (reference: pytorch_wavelets/utils.py:223-235)."""
+    return np.einsum('...ij,...jk->...ik', mats1, mats2)
+
+
+def stacked_2d_vector_matrix_prod(vecs, mats):
+    """result[i, j] = mats[i, j].T @ vecs[i, j]
+    (reference: pytorch_wavelets/utils.py:206-220)."""
+    return np.einsum('...ij,...i->...j', mats, vecs)
