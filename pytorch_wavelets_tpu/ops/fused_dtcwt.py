@@ -34,7 +34,8 @@ from jax import lax
 
 from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
 
-__all__ = ["analysis_level", "synthesis_level"]
+__all__ = ["analysis_level", "synthesis_level", "analysis_pyramid",
+           "synthesis_pyramid"]
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -181,5 +182,141 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
              else t_blocks[0])
     C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
     # stage 2: x_hat[h, w] = sum_m C_cat[h, m] t_all[m, w]
+    return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
+                      t_all, precision=get_matmul_precision())
+
+
+# --------------------------------------------------------------------------
+# Whole-transform (cross-level composed) planners
+#
+# Every DTCWT level is linear, so level-j operators compose through the
+# lowpass chain at trace time: band_j = (C_j·P·C_ll,j-1···C_ll,1) x
+# (R_j·P·R_ll,j-1···R_ll,1)^T — the inter-level %4 pads P and inverse-side
+# crops are selection matrices and fold in exactly.  The J-level forward
+# then needs NO inter-level lowpass intermediates: one global stage-1 dot
+# feeds per-level stage-2 dots; the J-level inverse runs per-level stage-1
+# dots into ONE global stage-2 contraction.
+# --------------------------------------------------------------------------
+
+def _q2c_epilogue(quads, o_dim):
+    def pair(name):
+        a, b, c, d = quads[name]
+        s = 1.0 / _SQRT2
+        return ((a - d) * s, (b + c) * s), ((a + d) * s, (b - c) * s)
+
+    (d15r, d15i), (d165r, d165i) = pair("lh")
+    (d45r, d45i), (d135r, d135i) = pair("hh")
+    (d75r, d75i), (d105r, d105i) = pair("hl")
+    highr = jnp.stack([d15r, d45r, d75r, d105r, d135r, d165r], axis=o_dim)
+    highi = jnp.stack([d15i, d45i, d75i, d105i, d135i, d165i], axis=o_dim)
+    return highr, highi
+
+
+def analysis_pyramid(x, levels, o_dim):
+    """Multi-level composed analysis.
+
+    ``levels``: per level a dict with
+      'bands': [('lh', (R, C)), ('hl', ...), ('hh', ...)] or None (skipped),
+      'll':    (R, C) or None — only set when this level's lowpass is an
+               output (final level / include_scale).
+    All operators are composed to act directly on x.  Returns
+    (lls, highs): lists with lls[j] the lowpass output or None and
+    highs[j] = (highr, highi) or None.
+    """
+    blocks = []
+    ofs = 0
+    plan = []          # per level: ('ll', slice) / group entries
+    for lev in levels:
+        entry = {"groups": [], "ll": None}
+        if lev.get("bands"):
+            groups: dict = {}
+            for name, (R, C) in lev["bands"]:
+                groups.setdefault(id(R), (R, []))[1].append((name, C))
+            for R, members in groups.values():
+                k = R[0::2].shape[0]
+                blocks += [R[0::2], R[1::2]]
+                entry["groups"].append((members, ofs, 2 * k))
+                ofs += 2 * k
+        if lev.get("ll") is not None:
+            R, C = lev["ll"]
+            blocks.append(R)
+            entry["ll"] = (C, ofs, R.shape[0])
+            ofs += R.shape[0]
+        plan.append(entry)
+
+    z = _row_stage(x, _cat(*blocks))
+
+    lls, highs = [], []
+    for entry in plan:
+        quads = {}
+        for members, go, gn in entry["groups"]:
+            k = gn // 2
+            Cstack = _cat(*[C[p::2] for _, C in members for p in (0, 1)])
+            y = _col_stage(z[..., go:go + gn], Cstack)
+            mofs = 0
+            for name, C in members:
+                m = C[0::2].shape[0]
+                quads[name] = (y[:, :, mofs:mofs + m, :k],
+                               y[:, :, mofs:mofs + m, k:],
+                               y[:, :, mofs + m:mofs + 2 * m, :k],
+                               y[:, :, mofs + m:mofs + 2 * m, k:])
+                mofs += 2 * m
+        highs.append(_q2c_epilogue(quads, o_dim) if quads else None)
+        if entry["ll"] is not None:
+            C, go, gn = entry["ll"]
+            lls.append(_col_stage(z[..., go:go + gn], C))
+        else:
+            lls.append(None)
+    return lls, highs
+
+
+def synthesis_pyramid(ll, highs_ri, levels, o_dim):
+    """Multi-level composed synthesis.
+
+    ``levels``: per level (fine->coarse order matching highs_ri) a dict
+      'bands': [('lh', (R, C)), ...] with operators composed to map the
+               level's interleaved band planes directly to x resolution.
+    ``ll``: (array or None, (R, C) composed spec) for the final lowpass.
+    ``highs_ri``: list of (highr, highi) or None per level.
+    """
+    t_blocks, c_blocks = [], []
+    s = 1.0 / _SQRT2
+    for lev, hri in zip(levels, highs_ri):
+        if hri is None or not lev.get("bands"):
+            continue
+        r = jnp.moveaxis(hri[0], o_dim, 0)
+        i = jnp.moveaxis(hri[1], o_dim, 0)
+        groups: dict = {}
+        for name, (R, C) in lev["bands"]:
+            groups.setdefault(id(R), (R, []))[1].append((name, C))
+        for R, members in groups.values():
+            xqs = []
+            for name, C in members:
+                o1, o2 = _SB_ORIENTS[name]
+                w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
+                x1 = (w1r + w2r) * s
+                x2 = (w1i + w2i) * s
+                x3 = (w1i - w2i) * s
+                x4 = (w2r - w1r) * s
+                top = jnp.concatenate([x1, x2], axis=-1)
+                bot = jnp.concatenate([x3, x4], axis=-1)
+                xqs.append(jnp.concatenate([top, bot], axis=-2))
+                c_blocks.append(np.ascontiguousarray(
+                    np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)))
+            xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
+            Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T)
+            t_blocks.append(jnp.einsum(
+                "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
+                precision=get_matmul_precision()))
+
+    ll_arr, ll_spec = ll
+    if ll_arr is not None and ll_spec is not None:
+        R, C = ll_spec
+        t_blocks.append(_row_stage(ll_arr, R))
+        c_blocks.append(C)
+
+    t_all = (jnp.concatenate(t_blocks, axis=-2) if len(t_blocks) > 1
+             else t_blocks[0])
+    C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
     return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
                       t_all, precision=get_matmul_precision())

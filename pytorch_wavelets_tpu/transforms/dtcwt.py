@@ -625,3 +625,178 @@ def inv_j2plus_op(lows, highs, g0a, g1a, g0b, g1b, o_dim, ri_dim, mode):
                              lows is not None, highs is not None, o_dim,
                              ri_dim, mode)
     return op(lows, highs)
+
+
+# --------------------------------------------------------------------------
+# Whole-transform composed planners (cross-level operator composition)
+#
+# Every level is linear, so level-j operators compose through the lowpass
+# chain at trace time: the inter-level %4 replicate pads and the inverse's
+# [1:-1] crops are selection matrices and fold in exactly.  The composed
+# forward computes every output directly from x (no inter-level lowpass
+# intermediates); the composed inverse scatters every level straight to x
+# resolution through one global stage-2 contraction.  These paths are pure
+# einsums/slices/concats, so plain autodiff yields machine-exact adjoints
+# (the reference's "inverse with reversed filters" backward IS the adjoint).
+# --------------------------------------------------------------------------
+
+def _pad4_matrix(n):
+    """Replicate-pad-to-%4 selection matrix (reference
+    dtcwt/transform2d.py:131-135), or None when no pad is needed."""
+    if n % 4 == 0:
+        return None
+    P = np.zeros((n + 2, n), dtype=np.float32)
+    P[0, 0] = 1.0
+    P[np.arange(1, n + 1), np.arange(n)] = 1.0
+    P[-1, -1] = 1.0
+    return P
+
+
+def _compose(A, chain):
+    return A if chain is None else np.ascontiguousarray(A @ chain)
+
+
+@lru_cache(maxsize=None)
+def _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs, mode,
+                      H, W):
+    """Composed forward plan: per-level specs for analysis_pyramid, all
+    operators acting directly on the (even-padded) input.  None when the
+    filter/size combination doesn't admit the parity-folded form."""
+    kl = ((h0b, h0a), False)
+    kh = ((h1b, h1a), True)
+    chain_h, chain_w = None, None          # None == identity
+    levels = []
+    for j in range(J):
+        nh = H if chain_h is None else chain_h.shape[0]
+        nw = W if chain_w is None else chain_w.shape[0]
+        if j == 0:
+            Cl, Ch = (_filter_matrix(h0o, mode, nh),
+                      _filter_matrix(h1o, mode, nh))
+            Rl, Rh = (_filter_matrix(h0o, mode, nw),
+                      _filter_matrix(h1o, mode, nw))
+            if any(m.shape[0] % 2 for m in (Cl, Ch, Rl, Rh)):
+                return None
+        else:
+            Ph, Pw = _pad4_matrix(nh), _pad4_matrix(nw)
+            if Ph is not None:
+                chain_h = _compose(Ph, chain_h)
+                nh += 2
+            if Pw is not None:
+                chain_w = _compose(Pw, chain_w)
+                nw += 2
+            Cl, Ch = (_dfilt_matrix(*kl[0], kl[1], nh),
+                      _dfilt_matrix(*kh[0], kh[1], nh))
+            Rl, Rh = (_dfilt_matrix(*kl[0], kl[1], nw),
+                      _dfilt_matrix(*kh[0], kh[1], nw))
+            if Cl.shape[0] % 2 or Rl.shape[0] % 2:
+                return None
+        Rl_c, Rh_c = _compose(Rl, chain_w), _compose(Rh, chain_w)
+        Cl_c, Ch_c = _compose(Cl, chain_h), _compose(Ch, chain_h)
+        lev = {"bands": None, "ll": None}
+        if not skips[j]:
+            lev["bands"] = [("lh", (Rl_c, Ch_c)), ("hl", (Rh_c, Cl_c)),
+                            ("hh", (Rh_c, Ch_c))]
+        chain_h, chain_w = Cl_c, Rl_c
+        if incs[j] or j == J - 1:
+            lev["ll"] = (chain_w, chain_h)
+        levels.append(lev)
+    return tuple(levels)
+
+
+def dtcwt2d_pyramid(x, filters, J, skip_hps, include_scale, o_dim, ri_dim,
+                    mode):
+    """Composed whole-transform forward.  Returns None to signal fallback
+    to the per-level path.  ``x`` must already be even-padded."""
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    H, W = x.shape[2], x.shape[3]
+    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+        return None
+    plan = _fwd_pyramid_plan(
+        filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
+        filters["h0b"], filters["h1b"], J, tuple(skip_hps),
+        tuple(include_scale), mode, H, W)
+    if plan is None:
+        return None
+    od, rd, hd, wd = get_dimensions5(o_dim, ri_dim)
+    lls, highs = fused_dtcwt.analysis_pyramid(x, plan, od)
+    yh = [jnp.stack(h, axis=rd) if h is not None else None for h in highs]
+    if True in include_scale:
+        return [lls[j] if include_scale[j] else None for j in range(J)], yh
+    return lls[-1], yh
+
+
+@lru_cache(maxsize=None)
+def _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw, highs_hw):
+    """Composed inverse plan from coefficient shapes.
+
+    yl_hw: (H, W) of the lowpass or None; highs_hw: fine-first tuple of
+    (h, w) band-corner sizes or None per level.  Returns (levels, ll_spec,
+    out_hw) or None for fallback."""
+    J = len(highs_hw)
+    kl = ((g0b, g0a), False)
+    kh = ((g1b, g1a), True)
+
+    def walk(axis):
+        """Per-axis size walk coarse->fine: (n_j list, K_j crops, out_1)."""
+        cur = yl_hw[axis] if yl_hw is not None else None
+        ns, Ks = [None] * J, [None] * J
+        for j in range(J - 1, -1, -1):
+            hw = highs_hw[j]
+            if hw is not None:
+                n = 2 * hw[axis]
+                if cur is not None and cur != n:
+                    if cur != n + 2:
+                        return None
+                    K = np.zeros((n, cur), dtype=np.float32)
+                    K[np.arange(n), np.arange(1, n + 1)] = 1.0
+                else:
+                    K = None
+            else:
+                if cur is None:
+                    return None
+                n, K = cur, None
+            ns[j], Ks[j] = n, K
+            if j > 0:
+                cur = 2 * n                       # colifilt upsamples x2
+            else:
+                cur = _filter_matrix(g0o, mode, n).shape[0]
+        return ns, Ks, cur
+
+    wh = walk(0)
+    ww = walk(1)
+    if wh is None or ww is None:
+        return None
+    ns_h, Ks_h, out_h = wh
+    ns_w, Ks_w, out_w = ww
+
+    levels = []
+    pre_h, pre_w = None, None        # prefix operator (x-res, level input)
+    for j in range(J):
+        nh, nw = ns_h[j], ns_w[j]
+        if j == 0:
+            C0 = _filter_matrix(g0o, mode, nh)
+            C1 = _filter_matrix(g1o, mode, nh)
+            R0 = _filter_matrix(g0o, mode, nw)
+            R1 = _filter_matrix(g1o, mode, nw)
+        else:
+            if nh % 2 or nw % 2:
+                return None
+            C0 = _ifilt_matrix(*kl[0], kl[1], nh)
+            C1 = _ifilt_matrix(*kh[0], kh[1], nh)
+            R0 = _ifilt_matrix(*kl[0], kl[1], nw)
+            R1 = _ifilt_matrix(*kh[0], kh[1], nw)
+        R0_c, R1_c = _compose(R0.T, None if pre_w is None else pre_w.T).T, \
+            _compose(R1.T, None if pre_w is None else pre_w.T).T
+        C0_c = pre_h @ C0 if pre_h is not None else C0
+        C1_c = pre_h @ C1 if pre_h is not None else C1
+        lev = None
+        if highs_hw[j] is not None:
+            lev = {"bands": [("lh", (R0_c, C1_c)), ("hl", (R1_c, C0_c)),
+                             ("hh", (R1_c, C1_c))]}
+        levels.append(lev)
+        # extend prefix through this level's lowpass branch + next crop
+        step_h = C0_c if Ks_h[j] is None else C0_c @ Ks_h[j]
+        step_w = R0_c if Ks_w[j] is None else R0_c @ Ks_w[j]
+        pre_h, pre_w = step_h, step_w
+    ll_spec = (pre_w, pre_h) if yl_hw is not None else None
+    return tuple(levels), ll_spec, (out_h, out_w)

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from pytorch_wavelets_tpu.filters import biort as _biort, qshift as _qshift
 from pytorch_wavelets_tpu.ops.dtcwt_fb import prep_taps
 from pytorch_wavelets_tpu.transforms.dtcwt import (
-    fwd_j1_op, fwd_j2plus_op, get_dimensions6, inv_j1_op, inv_j2plus_op,
+    dtcwt2d_pyramid, fwd_j1_op, fwd_j2plus_op, get_dimensions5,
+    get_dimensions6, inv_j1_op, inv_j2plus_op, _inv_pyramid_plan,
 )
 
 __all__ = ["dtcwt_fwd_filters", "dtcwt_inv_filters", "dtcwt2d", "idtcwt2d"]
@@ -97,6 +98,14 @@ def dtcwt2d(x, filters, J=3, skip_hps=False, include_scale=False,
         return x, None
 
     x = _replicate_pad_even(x)
+
+    # whole-transform composed path: every level's operators composed to
+    # act directly on x — no inter-level lowpass intermediates
+    out = dtcwt2d_pyramid(x, filters, J, list(skip_hps),
+                          list(include_scale), o_dim, ri_dim, mode)
+    if out is not None:
+        return out
+
     scales = [None] * J
     highs = [None] * J
     low, h = fwd_j1_op(x, filters["h0o"], filters["h1o"], skip_hps[0],
@@ -127,6 +136,10 @@ def idtcwt2d(coeffs, filters, o_dim=2, ri_dim=-1, mode="symmetric"):
     J = len(highs)
     _, _, h_dim, w_dim = get_dimensions6(o_dim, ri_dim)
 
+    out = _idtcwt2d_pyramid(low, highs, filters, o_dim, ri_dim, mode)
+    if out is not None:
+        return out
+
     def _crop_low(low, s):
         r, c = low.shape[2:]
         r1, c1 = s.shape[h_dim], s.shape[w_dim]
@@ -156,3 +169,45 @@ def idtcwt2d(coeffs, filters, o_dim=2, ri_dim=-1, mode="symmetric"):
     low = inv_j1_op(low, highs[0], filters["g0o"], filters["g1o"], o_dim,
                     ri_dim, mode)
     return low
+
+
+def _is_empty(h):
+    return h is None or (hasattr(h, "size") and h.size == 0)
+
+
+def _idtcwt2d_pyramid(low, highs, filters, o_dim, ri_dim, mode):
+    """Composed whole-transform inverse; None signals per-level fallback."""
+    from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
+    od5, rd5, h5, w5 = get_dimensions5(o_dim, ri_dim)
+    _, _, h_dim, w_dim = get_dimensions6(o_dim, ri_dim)
+    if low is None and all(_is_empty(s) for s in highs):
+        return None
+    sizes = []
+    for s in highs:
+        if _is_empty(s):
+            sizes.append(None)
+        else:
+            if (s.ndim != 6 or s.shape[o_dim % 6] != 6
+                    or s.shape[ri_dim % 6] != 2):
+                return None  # per-level path raises the reference errors
+            sizes.append((s.shape[h_dim], s.shape[w_dim]))
+    yl_hw = None if low is None else (low.shape[2], low.shape[3])
+    dims = [d for hw in sizes if hw for d in hw]
+    dims += list(yl_hw) if yl_hw else []
+    if not all(banded.matmul_enabled(2 * d) for d in dims):
+        return None
+    plan = _inv_pyramid_plan(
+        filters["g0o"], filters["g1o"], filters["g0a"], filters["g1a"],
+        filters["g0b"], filters["g1b"], mode, yl_hw, tuple(sizes))
+    if plan is None:
+        return None
+    levels, ll_spec, _ = plan
+    highs_ri = []
+    for s in highs:
+        if _is_empty(s):
+            highs_ri.append(None)
+        else:
+            hr, hi = jnp.moveaxis(s, rd5, 0)
+            highs_ri.append((hr, hi))
+    return fused_dtcwt.synthesis_pyramid(
+        (low, ll_spec), highs_ri, levels, od5)
