@@ -70,3 +70,86 @@ def test_matmul_path_odd_shapes(force_matmul):
 def test_matmul_disabled_above_cap(force_matmul):
     assert not banded.matmul_enabled(banded.MAX_MATMUL_N + 1)
     assert banded.matmul_enabled(64)
+
+
+def _perlevel(fn):
+    """Run fn with the composed pyramid path disabled (per-level ops)."""
+    import pytorch_wavelets_tpu.transforms.dtcwt_xfm as xfm
+    orig = (xfm.dtcwt2d_pyramid, xfm._idtcwt2d_pyramid)
+    xfm.dtcwt2d_pyramid = lambda *a, **k: None
+    xfm._idtcwt2d_pyramid = lambda *a, **k: None
+    try:
+        return fn()
+    finally:
+        xfm.dtcwt2d_pyramid, xfm._idtcwt2d_pyramid = orig
+
+
+# reference-supported layout combos (reference tests/test_dtcwt.py:188-189;
+# ri_dim=4+ is outside the reference's get_dimensions6 envelope)
+@pytest.mark.parametrize("o_dim,ri_dim", [(2, -1), (1, -1), (1, 2), (2, 3),
+                                          (2, 1)])
+def test_composed_pyramid_dim_layouts(force_matmul, o_dim, ri_dim):
+    x = jnp.asarray(_rand((1, 2, 48, 48), seed=3))
+    fwd = tw.DTCWTForward(J=3, o_dim=o_dim, ri_dim=ri_dim)
+    inv = tw.DTCWTInverse(o_dim=o_dim, ri_dim=ri_dim)
+    yl, yh = fwd(x)
+    rec = inv((yl, yh))
+    yl2, yh2 = _perlevel(lambda: fwd(x))
+    rec2 = _perlevel(lambda: inv((yl2, yh2)))
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=3e-5)
+    for a, b in zip(yh, yh2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=3e-5)
+
+
+def test_composed_pyramid_skip_and_scales(force_matmul):
+    x = jnp.asarray(_rand((1, 2, 48, 48), seed=4))
+    fwd = tw.DTCWTForward(J=3, skip_hps=[True, False, False],
+                          include_scale=[False, True, True])
+    scales, yh = fwd(x)
+    scales2, yh2 = _perlevel(lambda: fwd(x))
+    assert yh[0] is None and yh2[0] is None
+    assert scales[0] is None and scales2[0] is None
+    for a, b in list(zip(scales[1:], scales2[1:])) + list(zip(yh[1:],
+                                                              yh2[1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_composed_pyramid_none_highpass_inverse(force_matmul):
+    x = jnp.asarray(_rand((1, 2, 48, 48), seed=5))
+    fwd = tw.DTCWTForward(J=3)
+    inv = tw.DTCWTInverse()
+    yl, yh = fwd(x)
+    rec = inv((yl, [None, yh[1], None]))
+    rec2 = _perlevel(lambda: inv((yl, [None, yh[1], None])))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=3e-5)
+    rec3 = inv((None, yh))                     # no lowpass
+    rec4 = _perlevel(lambda: inv((None, yh)))
+    np.testing.assert_allclose(np.asarray(rec3), np.asarray(rec4), atol=3e-5)
+
+
+def test_composed_pyramid_odd_input(force_matmul):
+    x = jnp.asarray(_rand((1, 2, 47, 45), seed=6))
+    fwd = tw.DTCWTForward(J=2)
+    inv = tw.DTCWTInverse()
+    yl, yh = fwd(x)
+    rec = inv((yl, yh))
+    yl2, yh2 = _perlevel(lambda: fwd(x))
+    rec2 = _perlevel(lambda: inv((yl2, yh2)))
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=3e-5)
+
+
+def test_composed_pyramid_gradients(force_matmul):
+    x = jnp.asarray(_rand((1, 1, 32, 32), seed=7))
+    fwd = tw.DTCWTForward(J=2)
+    inv = tw.DTCWTInverse()
+
+    def loss(z):
+        yl, yh = fwd(z)
+        return (jnp.sum(inv((yl, yh)) ** 2) + jnp.sum(yl ** 2) +
+                sum(jnp.sum(h ** 2) for h in yh))
+
+    g = jax.grad(loss)(x)
+    g2 = _perlevel(lambda: jax.grad(loss)(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=3e-4)
