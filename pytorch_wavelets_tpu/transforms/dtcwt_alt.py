@@ -20,7 +20,8 @@ from pytorch_wavelets_tpu.transforms.dwt import (
     dec_filters, rec_filters, dwt2d, idwt2d,
 )
 
-__all__ = ["cplxdual2d", "icplxdual2d", "DTCWTForward2", "DTCWTInverse2"]
+__all__ = ["cplxdual2d", "icplxdual2d", "DTCWTForward2",
+           "DTCWTInverse2", "quad_afb2d", "quad_afb2d_nonsep"]
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -200,3 +201,68 @@ class DTCWTInverse2(StaticModule):
         l1 = tuple(np.asarray(f) for f in self._l1)
         q = tuple(np.asarray(f) for f in self._q)
         return _cplxdual_inv(yl, yh, l1, q, self.mode, m_is_row_tree=True)
+
+
+def quad_afb2d(x, h0a, h1a, h0b, h1b, mode="zero"):
+    """Single-level 4-tree ("quad") analysis (reference experiment:
+    dtcwt/lowlevel2.py:259-372, fed by prep_filt_quad_afb2d:208-256).
+
+    Runs the four (col-tree, row-tree) DWT combinations — (a,a), (a,b),
+    (b,a), (b,b) — on x/2 and butterflies the bandpasses into 6 oriented
+    complex subbands.  Returns (yl, yh):
+      yl (N, C, H, W): the four tree lowpasses interleaved back into a
+        double-size quad image (reference :364-370),
+      yh (N, 6, C, H', W', 2): orientations 15..165 degrees.
+
+    The reference batches the 16 filterings into two grouped convs; here
+    each tree level is an MXU operator-matmul pair, which XLA batches.
+    """
+    import numpy as np
+    from pytorch_wavelets_tpu.ops.afb_sfb import as_taps, _afb2d_corr
+
+    x = x / 2
+    taps = {"a": (as_taps(h0a)[::-1], as_taps(h1a)[::-1]),
+            "b": (as_taps(h0b)[::-1], as_taps(h1b)[::-1])}
+    trees = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+    ys = []
+    for col_t, row_t in trees:
+        h0c, h1c = taps[col_t]
+        h0r, h1r = taps[row_t]
+        ys.append(_afb2d_corr(x, h0c, h1c, h0r, h1r, mode))
+    # ours band order (LL, LH, HL, HH) with LH = row-lo/col-hi; the
+    # reference's quad band order is (ll, col-lo.row-hi, col-hi.row-lo, hh)
+    ll = [y[:, :, 0] for y in ys]
+    b1 = [y[:, :, 2] for y in ys]     # col-lo, row-hi == ours HL
+    b2 = [y[:, :, 1] for y in ys]     # col-hi, row-lo == ours LH
+    b3 = [y[:, :, 3] for y in ys]
+
+    # butterfly wiring (reference :354-362)
+    deg75r, deg105i = _pm(b1[0], b1[3])
+    deg105r, deg75i = _pm(b1[1], b1[2])
+    deg15r, deg165i = _pm(b2[0], b2[3])
+    deg165r, deg15i = _pm(b2[1], b2[2])
+    deg135r, deg45i = _pm(b3[0], b3[3])
+    deg45r, deg135i = _pm(b3[1], b3[2])
+    yhr = jnp.stack([deg15r, deg45r, deg75r, deg105r, deg135r, deg165r],
+                    axis=1)
+    yhi = jnp.stack([deg15i, deg45i, deg75i, deg105i, deg135i, deg165i],
+                    axis=1)
+    yh = jnp.stack([yhr, yhi], axis=-1)
+
+    # interleave the 4 tree lowpasses into a double-size quad image
+    # (reference :364-370): even output rows/cols come from tree d/b
+    rowa = jnp.stack([ll[1], ll[0]], axis=-1)
+    rowb = jnp.stack([ll[3], ll[2]], axis=-1)
+    N, C, Hp, Wp = ll[0].shape
+    rowa = rowa.reshape(N, C, Hp, Wp * 2)
+    rowb = rowb.reshape(N, C, Hp, Wp * 2)
+    yl = jnp.stack([rowb, rowa], axis=-2).reshape(N, C, Hp * 2, Wp * 2)
+    return yl, yh
+
+
+def quad_afb2d_nonsep(x, h0a, h1a, h0b, h1b, mode="zero"):
+    """Non-separable single-conv variant of :func:`quad_afb2d` (reference:
+    dtcwt/lowlevel2.py:374-441).  On TPU the separable operator-matmul
+    pipeline IS the fused form, so this shares the same implementation —
+    the reference keeps both only to compare conv strategies."""
+    return quad_afb2d(x, h0a, h1a, h0b, h1b, mode)

@@ -69,3 +69,33 @@ def test_cplxdual_mag(ref):
     _, yh = cplxdual2d(jnp.asarray(x), J=1, mode="symmetric", mag=True)
     np.testing.assert_allclose(np.asarray(yh[0]), yh_t[0].numpy(),
                                atol=ATOL)
+
+
+def test_quad_afb2d_vs_reference():
+    """quad_afb2d matches the reference's 4-tree batched-conv experiment
+    (reference dtcwt/lowlevel2.py:259-372) bit-for-float."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.reference_oracle import load_reference
+    from pytorch_wavelets_tpu.transforms.dtcwt_alt import (
+        quad_afb2d, quad_afb2d_nonsep)
+    from pytorch_wavelets_tpu.filters import qshift
+
+    torch, _ = load_reference()
+    from pytorch_wavelets.dtcwt.lowlevel2 import (
+        prep_filt_quad_afb2d, quad_afb2d as ref_quad)
+
+    h0a, h0b, _, _, h1a, h1b, _, _ = qshift("qshift_a")
+    x = np.random.RandomState(0).randn(2, 3, 64, 64).astype(np.float32)
+    for mode in ("zero", "symmetric"):
+        cols, rows = prep_filt_quad_afb2d(h0a, h1a, h0b, h1b)
+        yl_r, yh_r = ref_quad(torch.from_numpy(x), cols, rows, mode=mode)
+        yl_o, yh_o = quad_afb2d(jnp.asarray(x), h0a, h1a, h0b, h1b,
+                                mode=mode)
+        np.testing.assert_allclose(np.asarray(yl_o), yl_r.numpy(),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(yh_o), yh_r.numpy(),
+                                   atol=3e-5)
+    yl2, yh2 = quad_afb2d_nonsep(jnp.asarray(x), h0a, h1a, h0b, h1b)
+    yl1, yh1 = quad_afb2d(jnp.asarray(x), h0a, h1a, h0b, h1b)
+    np.testing.assert_allclose(np.asarray(yl2), np.asarray(yl1))
