@@ -31,8 +31,8 @@ from pytorch_wavelets_tpu.transforms.dwt import dec_filters, rec_filters
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
 from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
 
-__all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_dtcwt2d",
-           "sharded_scat_j2"]
+__all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_swt2d",
+           "sharded_iswt2d", "sharded_dtcwt2d", "sharded_scat_j2"]
 
 
 # --------------------------------------------------------------------------
@@ -180,3 +180,103 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2):
         return scat_layer_j2(z, filters, mode=mode, magbias=magbias)
 
     return run(xs)
+
+
+# --------------------------------------------------------------------------
+# Explicit halo-exchange SWT (undecimated; wrap modes)
+# --------------------------------------------------------------------------
+
+def _afb1d_atrous_sharded(x, kernels, axis, axis_name, dilation):
+    """Undecimated analysis step; the a-trous pad (L2-d, L2) comes from the
+    ring neighbours (cf. ops.afb_sfb._afb1d_atrous_corr_conv)."""
+    L = kernels.shape[1]
+    L2 = (L * dilation) // 2
+    xp = halo_exchange_1d(x, axis, axis_name, L2 - dilation, L2,
+                          boundary="wrap")
+    return _conv_axis(xp, kernels, axis, rhs_dilation=dilation)
+
+
+def _afb1d_atrous_local(x, kernels, axis, dilation):
+    from pytorch_wavelets_tpu.ops.pad import pad1d
+    L = kernels.shape[1]
+    L2 = (L * dilation) // 2
+    xp = pad1d(x, L2 - dilation, L2, axis, "periodic")
+    return _conv_axis(xp, kernels, axis, rhs_dilation=dilation)
+
+
+def _sfb1d_atrous_sharded(lo, hi, g0, g1, axis, axis_name, dilation):
+    """Undecimated synthesis step with ring halos (cf.
+    ops.afb_sfb._sfb1d_atrous_conv_conv)."""
+    L = len(g0)
+    Ld = L * dilation
+    L2 = Ld // 2
+    k = np.stack([np.asarray(g0)[::-1], np.asarray(g1)[::-1]])
+    front, back = L2, Ld - dilation - L2
+    lo_h = halo_exchange_1d(lo, axis, axis_name, front, back,
+                            boundary="wrap")
+    hi_h = halo_exchange_1d(hi, axis, axis_name, front, back,
+                            boundary="wrap")
+    y = (_conv_axis(lo_h, k[0:1], axis, rhs_dilation=dilation) +
+         _conv_axis(hi_h, k[1:2], axis, rhs_dilation=dilation))
+    return 0.5 * y[:, :, 0]
+
+
+def _sfb1d_atrous_local(lo, hi, g0, g1, axis, dilation):
+    from pytorch_wavelets_tpu.ops.afb_sfb import _sfb1d_atrous_conv_conv
+    return _sfb1d_atrous_conv_conv(lo, hi, np.asarray(g0), np.asarray(g1),
+                                   "periodic", axis, dilation)
+
+
+def sharded_swt2d(x, mesh, wave="db2", J=2):
+    """J-level undecimated (SWT) 2-D transform, N over 'data', W over
+    'spatial', with per-level dilated ring halo exchange along W.
+
+    Returns the same list of (N, C, 4, H, W) coefficient arrays as
+    transforms.dwt.swt2d (periodization mode).  Per-level communication is
+    the dilated filter support: (L-1)*2^j columns."""
+    h0c, h1c, h0r, h1r = dec_filters(wave)
+    rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
+    rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
+
+    def local(xl):
+        out = []
+        ll = xl
+        for j in range(J):
+            d = 2 ** j
+            N, C = ll.shape[:2]
+            lohi = _afb1d_atrous_sharded(ll, rh, 3, "spatial", d)
+            lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
+            y = _afb1d_atrous_local(lohi, rc, 2, d)
+            y = y.reshape(N, C, 2, 2, *y.shape[3:])
+            y = y.reshape(N, C, 4, *y.shape[4:])
+            ll = y[:, :, 0]
+            out.append(y)
+        return out
+
+    spec_in = P("data", None, None, "spatial")
+    spec_out = [P("data", None, None, None, "spatial")] * J
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                   out_specs=spec_out)
+    return fn(x)
+
+
+def sharded_iswt2d(coeffs, mesh, wave="db2"):
+    """Inverse of :func:`sharded_swt2d`."""
+    g0c, g1c, g0r, g1r = rec_filters(wave)
+    J = len(coeffs)
+
+    def local(cs):
+        ll = cs[-1][:, :, 0]
+        for j in range(J - 1, -1, -1):
+            d = 2 ** j
+            c = cs[j]
+            lh, hl, hh = c[:, :, 1], c[:, :, 2], c[:, :, 3]
+            lo = _sfb1d_atrous_local(ll, lh, g0c, g1c, 2, d)
+            hi = _sfb1d_atrous_local(hl, hh, g0c, g1c, 2, d)
+            ll = _sfb1d_atrous_sharded(lo, hi, g0r, g1r, 3, "spatial", d)
+        return ll
+
+    spec = [P("data", None, None, None, "spatial")] * J
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,),
+                   out_specs=P("data", None, None, "spatial"))
+    return fn(list(coeffs))

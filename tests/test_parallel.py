@@ -14,9 +14,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import pytorch_wavelets_tpu as tw
 from pytorch_wavelets_tpu.parallel import (
     make_mesh, sharded_dwt2d, sharded_idwt2d, sharded_dtcwt2d,
-    sharded_scat_j2,
+    sharded_scat_j2, sharded_swt2d, sharded_iswt2d,
 )
-from pytorch_wavelets_tpu.transforms.dwt import dwt2d, idwt2d
+from pytorch_wavelets_tpu.transforms.dwt import dwt2d, idwt2d, swt2d
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
     dtcwt2d, dtcwt_fwd_filters,
 )
@@ -92,3 +92,21 @@ def test_dryrun_multichip_entrypoint():
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("wave", ["db2", "db4"])
+def test_halo_swt_matches_single_device(mesh, wave):
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 2, 32, 64)
+                    .astype(np.float32))
+    got = sharded_swt2d(x, mesh, wave=wave, J=2)
+    want = swt2d(x, wave, J=2, mode="periodic")
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
+
+
+def test_halo_iswt_roundtrip(mesh):
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 2, 32, 64)
+                    .astype(np.float32))
+    coeffs = sharded_swt2d(x, mesh, wave="db3", J=2)
+    rec = sharded_iswt2d(coeffs, mesh, wave="db3")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-5)
