@@ -98,7 +98,9 @@ def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
     quads = {}
     for (R, members), (go, gn) in zip(group_list, offsets[1:]):
         k = gn // 2
-        Cstack = _cat(*[C[p::2] for _, C in members for p in (0, 1)])
+        # 1/sqrt2 of the q2c butterfly folded into the operator
+        Cstack = _cat(*[C[p::2] for _, C in members
+                        for p in (0, 1)]) * (1.0 / _SQRT2)
         y = _col_stage(z[..., go:go + gn], Cstack)
         mofs = 0
         for name, C in members:
@@ -111,9 +113,8 @@ def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
             mofs += 2 * m
 
     def q2c_pair(name):
-        a, b, c, d = quads[name]
-        s = 1.0 / _SQRT2
-        return ((a - d) * s, (b + c) * s), ((a + d) * s, (b - c) * s)
+        a, b, c, d = quads[name]     # operators carry the 1/sqrt2
+        return ((a - d), (b + c)), ((a + d), (b - c))
 
     (d15r, d15i), (d165r, d165i) = q2c_pair("lh")
     (d45r, d45i), (d135r, d135i) = q2c_pair("hh")
@@ -142,7 +143,6 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
     """
     r = jnp.moveaxis(highr, o_dim, 0)
     i = jnp.moveaxis(highi, o_dim, 0)
-    s = 1.0 / _SQRT2
 
     # group subbands that share a row operator into one stage-1 dot
     groups: dict = {}
@@ -153,22 +153,24 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
     t_blocks = []     # stage-1 outputs (B, c, m_i, W_out)
     c_blocks = []     # matching column operators (H_out, m_i)
     for R, members in groups.values():
-        xqs = []
+        xqs, cms = [], []
         for name, C in members:
             o1, o2 = _SB_ORIENTS[name]
             w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
             # c2q corners (reference dtcwt/lowlevel.py:263-295)
-            x1 = (w1r + w2r) * s     # even row, even col
-            x2 = (w1i + w2i) * s     # even row, odd col
-            x3 = (w1i - w2i) * s     # odd row, even col
-            x4 = (w2r - w1r) * s     # odd row, odd col
+            x1 = w1r + w2r           # even row, even col
+            x2 = w1i + w2i           # even row, odd col
+            x3 = w1i - w2i           # odd row, even col
+            x4 = w2r - w1r           # odd row, odd col
+            # (the c2q 1/sqrt2 is folded into Rcat below)
             top = jnp.concatenate([x1, x2], axis=-1)
             bot = jnp.concatenate([x3, x4], axis=-1)
             xqs.append(jnp.concatenate([top, bot], axis=-2))
-            c_blocks.append(np.ascontiguousarray(
-                np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)))
+            cms.append(np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1))
+        c_blocks.append(np.ascontiguousarray(np.concatenate(cms, axis=1)))
         xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
-        Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T)   # (2k, W_out)
+        # c2q's 1/sqrt2 folded into the operator
+        Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T) * (1.0 / _SQRT2)
         t_blocks.append(jnp.einsum(
             "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
             precision=get_matmul_precision()))
@@ -178,12 +180,18 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
         t_blocks.append(_row_stage(ll, R))
         c_blocks.append(C)
 
-    t_all = (jnp.concatenate(t_blocks, axis=-2) if len(t_blocks) > 1
-             else t_blocks[0])
-    C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
-    # stage 2: x_hat[h, w] = sum_m C_cat[h, m] t_all[m, w]
-    return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
-                      t_all, precision=get_matmul_precision())
+    return _sum_col_apply(c_blocks, t_blocks)
+
+
+def _sum_col_apply(c_blocks, t_blocks):
+    """x_hat = sum_i C_i @ T_i as summed dots — avoids materialising the
+    concatenated (c, m)-stacked intermediate (a full extra HBM pass)."""
+    y = None
+    for C, t in zip(c_blocks, t_blocks):
+        contrib = jnp.einsum("hm,bcmw->bchw", jnp.asarray(C, t.dtype), t,
+                             precision=get_matmul_precision())
+        y = contrib if y is None else y + contrib
+    return y
 
 
 # --------------------------------------------------------------------------
@@ -200,9 +208,8 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
 
 def _q2c_epilogue(quads, o_dim):
     def pair(name):
-        a, b, c, d = quads[name]
-        s = 1.0 / _SQRT2
-        return ((a - d) * s, (b + c) * s), ((a + d) * s, (b - c) * s)
+        a, b, c, d = quads[name]     # operators carry the 1/sqrt2
+        return ((a - d), (b + c)), ((a + d), (b - c))
 
     (d15r, d15i), (d165r, d165i) = pair("lh")
     (d45r, d45i), (d135r, d135i) = pair("hh")
@@ -251,7 +258,8 @@ def analysis_pyramid(x, levels, o_dim):
         quads = {}
         for members, go, gn in entry["groups"]:
             k = gn // 2
-            Cstack = _cat(*[C[p::2] for _, C in members for p in (0, 1)])
+            Cstack = _cat(*[C[p::2] for _, C in members
+                            for p in (0, 1)]) * (1.0 / _SQRT2)
             y = _col_stage(z[..., go:go + gn], Cstack)
             mofs = 0
             for name, C in members:
@@ -280,7 +288,6 @@ def synthesis_pyramid(ll, highs_ri, levels, o_dim):
     ``highs_ri``: list of (highr, highi) or None per level.
     """
     t_blocks, c_blocks = [], []
-    s = 1.0 / _SQRT2
     for lev, hri in zip(levels, highs_ri):
         if hri is None or not lev.get("bands"):
             continue
@@ -290,21 +297,22 @@ def synthesis_pyramid(ll, highs_ri, levels, o_dim):
         for name, (R, C) in lev["bands"]:
             groups.setdefault(id(R), (R, []))[1].append((name, C))
         for R, members in groups.values():
-            xqs = []
+            xqs, cms = [], []
             for name, C in members:
                 o1, o2 = _SB_ORIENTS[name]
                 w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
-                x1 = (w1r + w2r) * s
-                x2 = (w1i + w2i) * s
-                x3 = (w1i - w2i) * s
-                x4 = (w2r - w1r) * s
+                x1 = w1r + w2r
+                x2 = w1i + w2i
+                x3 = w1i - w2i
+                x4 = w2r - w1r
                 top = jnp.concatenate([x1, x2], axis=-1)
                 bot = jnp.concatenate([x3, x4], axis=-1)
                 xqs.append(jnp.concatenate([top, bot], axis=-2))
-                c_blocks.append(np.ascontiguousarray(
-                    np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)))
+                cms.append(np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1))
+            c_blocks.append(np.ascontiguousarray(
+                np.concatenate(cms, axis=1)))
             xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
-            Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T)
+            Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T) * (1.0 / _SQRT2)
             t_blocks.append(jnp.einsum(
                 "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
                 precision=get_matmul_precision()))
@@ -315,8 +323,4 @@ def synthesis_pyramid(ll, highs_ri, levels, o_dim):
         t_blocks.append(_row_stage(ll_arr, R))
         c_blocks.append(C)
 
-    t_all = (jnp.concatenate(t_blocks, axis=-2) if len(t_blocks) > 1
-             else t_blocks[0])
-    C_cat = np.ascontiguousarray(np.concatenate(c_blocks, axis=1))
-    return jnp.einsum("hm,bcmw->bchw", jnp.asarray(C_cat, t_all.dtype),
-                      t_all, precision=get_matmul_precision())
+    return _sum_col_apply(c_blocks, t_blocks)
