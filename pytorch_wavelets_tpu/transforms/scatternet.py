@@ -10,6 +10,8 @@ swapped q-shift trees, 1/4-nearest-upsample as the avg-pool adjoint).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,14 +106,18 @@ def scat_layer_j1(x, filters, mode="symmetric", magbias=1e-2,
     x = _pad_even(x)
     if combine_colour and x.shape[1] != 3:
         raise ValueError("combine_colour requires 3 input channels")
-    if bandpass_diag:
-        ll, h = fwd_j1_rot_op(x, filters["h0o"], filters["h1o"],
-                              filters["h2o"], False, 1, -1, mode)
+    front = None if bandpass_diag else _scat_levels(x, filters, mode, 1)
+    if front is not None:
+        ll, ((reals, imags),) = front            # ll already pooled
     else:
-        ll, h = fwd_j1_op(x, filters["h0o"], filters["h1o"], False, 1, -1,
-                          mode)
-    reals, imags = _unstack_ri(h)
-    ll = avg_pool2(ll)
+        if bandpass_diag:
+            ll, h = fwd_j1_rot_op(x, filters["h0o"], filters["h1o"],
+                                  filters["h2o"], False, 1, -1, mode)
+        else:
+            ll, h = fwd_j1_op(x, filters["h0o"], filters["h1o"], False, 1,
+                              -1, mode)
+        reals, imags = _unstack_ri(h)
+        ll = avg_pool2(ll)
     if combine_colour:
         r = _combined_mag(reals, imags, magbias)  # (N, 6, 1, H/2, W/2)
         return jnp.concatenate([ll, r[:, :, 0]], axis=1)
@@ -154,6 +160,11 @@ def scat_layer_j2(x, filters, mode="symmetric", magbias=1e-2,
                                  filters["h0b"], filters["h1b"], False, 1,
                                  -1, mode)
 
+    front = None if bandpass_diag else _scat_levels(x, filters, mode, 2)
+    if front is not None:
+        return _scat_layer_j2_composed(x, front, filters, mode, magbias,
+                                       combine_colour)
+
     # first order, scale 1
     s0, h = _j1(x)
     reals, imags = _unstack_ri(h)
@@ -185,6 +196,104 @@ def scat_layer_j2(x, filters, mode="symmetric", magbias=1e-2,
     q = s2_j1.shape
     s2_j1 = s2_j1.reshape(q[0], 36, q[2] // 6, q[3], q[4])
     s1_j1 = avg_pool2(u1_ll).reshape(p[0], 6, p[2], p[3] // 2, p[4] // 2)
+    Z = jnp.concatenate([s0[:, None], s1_j1, s1_j2, s2_j1], axis=1)
+    b, _, c, hh, ww = Z.shape
+    return Z.reshape(b, 49 * c, hh, ww)
+
+
+# --------------------------------------------------------------------------
+# Composed scattering front-ends
+#
+# The linear segments of the scattering chain (DTCWT levels + the average
+# pools on their lowpasses) run through the whole-transform pyramid
+# planner: the pool is one more operator composed onto the lowpass specs,
+# the magnitudes consume (highr, highi) directly (no re/im interleave),
+# and autodiff through the einsums gives the exact adjoints.
+# --------------------------------------------------------------------------
+
+def _pool_compose(spec):
+    R, C = spec
+    if R.shape[0] % 2 or C.shape[0] % 2:
+        return None
+    Rp = np.ascontiguousarray(_pool_matrix(R.shape[0]) @ R)
+    Cp = np.ascontiguousarray(_pool_matrix(C.shape[0]) @ C)
+    return (Rp, Cp)
+
+
+@lru_cache(maxsize=None)
+def _scat_front_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W):
+    """J-level analysis plan with the final lowpass pooled 2x2."""
+    from pytorch_wavelets_tpu.transforms.dtcwt import _fwd_pyramid_plan
+    skips = (False,) * J
+    incs = (False,) * J
+    plan = _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs,
+                             mode, H, W)
+    if plan is None:
+        return None
+    last = dict(plan[-1])
+    pooled = _pool_compose(last["ll"])
+    if pooled is None:
+        return None
+    last["ll"] = pooled
+    return plan[:-1] + (last,)
+
+
+def _scat_levels(x, filters, mode, J):
+    """Run J DTCWT analysis levels on x via the composed pyramid, with the
+    final lowpass average-pooled.  Returns (pooled_ll, [(hr, hi), ...]) or
+    None to signal fallback (rot filters, CPU backend, odd operator
+    sizes)."""
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import analysis_pyramid
+    H, W = x.shape[2], x.shape[3]
+    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+        return None
+    plan = _scat_front_plan(
+        filters["h0o"], filters["h1o"],
+        filters.get("h0a", filters["h0o"]),
+        filters.get("h1a", filters["h1o"]),
+        filters.get("h0b", filters["h0o"]),
+        filters.get("h1b", filters["h1o"]), J, mode, H, W)
+    if plan is None:
+        return None
+    lls, highs = analysis_pyramid(x, plan, 1)   # orientations on dim 1
+    return lls[-1], highs
+
+
+def _scat_layer_j2_composed(x, front, filters, mode, magbias,
+                            combine_colour):
+    """scat_layer_j2 body on the composed pyramid front (see
+    :func:`_scat_levels`); the three linear segments are three pyramid
+    calls with pooling folded into the lowpass operators."""
+    s0, ((r1, i1), (r2, i2)) = front      # s0 = pooled ll2
+
+    if combine_colour:
+        s1_j1 = _combined_mag(r1, i1, magbias)            # (N,6,1,H/2,W/2)
+        s1_j2 = _combined_mag(r2, i2, magbias)            # (N,6,1,H/4,W/4)
+        u1 = s1_j1[:, :, 0]                               # (N,6,H/2,W/2)
+        sec = _scat_levels(u1, filters, mode, 1)
+        if sec is None:
+            raise RuntimeError("composed front available but second-order "
+                               "plan failed")             # pragma: no cover
+        u1_ll, ((r3, i3),) = sec                          # pooled
+        s2_j1 = smooth_mag(r3, i3, magbias)               # (N,6,6,H/4,W/4)
+        q = s2_j1.shape
+        s2_j1 = s2_j1.reshape(q[0], 36, q[3], q[4])
+        return jnp.concatenate([s0, u1_ll, s1_j2[:, :, 0], s2_j1], axis=1)
+
+    s1_j1 = smooth_mag(r1, i1, magbias)                   # (N,6,C,H/2,W/2)
+    s1_j2 = smooth_mag(r2, i2, magbias)                   # (N,6,C,H/4,W/4)
+    p = s1_j1.shape
+    u1 = s1_j1.reshape(p[0], 6 * p[2], p[3], p[4])
+    sec = _scat_levels(u1, filters, mode, 1)
+    if sec is None:
+        raise RuntimeError("composed front available but second-order "
+                           "plan failed")                 # pragma: no cover
+    u1_ll, ((r3, i3),) = sec                              # pooled
+    s2_j1 = smooth_mag(r3, i3, magbias)                   # (N,6,6C,H/4,W/4)
+    q = s2_j1.shape
+    s2_j1 = s2_j1.reshape(q[0], 36, q[2] // 6, q[3], q[4])
+    s1_j1 = u1_ll.reshape(p[0], 6, p[2], p[3] // 2, p[4] // 2)
     Z = jnp.concatenate([s0[:, None], s1_j1, s1_j2, s2_j1], axis=1)
     b, _, c, hh, ww = Z.shape
     return Z.reshape(b, 49 * c, hh, ww)
