@@ -58,6 +58,17 @@ def _col_stage(z, C):
                       precision=get_matmul_precision())
 
 
+def _sum_col_apply(c_blocks, t_blocks):
+    """x_hat = sum_i C_i @ T_i as summed dots — avoids materialising the
+    concatenated (c, m)-stacked intermediate (a full extra HBM pass)."""
+    y = None
+    for C, t in zip(c_blocks, t_blocks):
+        contrib = jnp.einsum("hm,bcmw->bchw", jnp.asarray(C, t.dtype), t,
+                             precision=get_matmul_precision())
+        y = contrib if y is None else y + contrib
+    return y
+
+
 def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
                    skip_hps=False):
     """One DTCWT analysis level as shared-stage parity-folded matmuls.
@@ -68,61 +79,16 @@ def analysis_level(x, ll_spec, lh_spec, hl_spec, hh_spec, o_dim,
 
     Returns (ll, highr, highi) with the 6 orientations
     (15, 45, 75, 105, 135, 165 degrees) stacked on ``o_dim``.
+    A single level is a 1-entry pyramid (see :func:`analysis_pyramid`).
     """
-    R_ll, C_ll = ll_spec
     if skip_hps:
+        R_ll, C_ll = ll_spec
         return _col_stage(_row_stage(x, R_ll), C_ll), None, None
-
-    # group subbands by their row operator so Z carries each only once
-    groups: dict = {}
-    for name, (R, C) in (("lh", lh_spec), ("hl", hl_spec),
-                         ("hh", hh_spec)):
-        groups.setdefault(id(R), (R, []))[1].append((name, C))
-
-    # stage 1: single dot with [R_ll; Re, Ro per group] stacked on K
-    blocks = [R_ll]
-    offsets = [(0, R_ll.shape[0])]
-    ofs = R_ll.shape[0]
-    group_list = list(groups.values())
-    for R, _members in group_list:
-        k = R[0::2].shape[0]
-        blocks += [R[0::2], R[1::2]]
-        offsets.append((ofs, 2 * k))
-        ofs += 2 * k
-    z = _row_stage(x, _cat(*blocks))
-
-    # stage 2: one dot per group (plus the lowpass)
-    o0, n0 = offsets[0]
-    ll = _col_stage(z[..., o0:o0 + n0], C_ll)
-
-    quads = {}
-    for (R, members), (go, gn) in zip(group_list, offsets[1:]):
-        k = gn // 2
-        # 1/sqrt2 of the q2c butterfly folded into the operator
-        Cstack = _cat(*[C[p::2] for _, C in members
-                        for p in (0, 1)]) * (1.0 / _SQRT2)
-        y = _col_stage(z[..., go:go + gn], Cstack)
-        mofs = 0
-        for name, C in members:
-            m = C[0::2].shape[0]
-            a = y[:, :, mofs:mofs + m, :k]           # even rows, even cols
-            c = y[:, :, mofs + m:mofs + 2 * m, :k]   # odd rows,  even cols
-            b = y[:, :, mofs:mofs + m, k:]           # even rows, odd cols
-            d = y[:, :, mofs + m:mofs + 2 * m, k:]   # odd rows,  odd cols
-            quads[name] = (a, b, c, d)
-            mofs += 2 * m
-
-    def q2c_pair(name):
-        a, b, c, d = quads[name]     # operators carry the 1/sqrt2
-        return ((a - d), (b + c)), ((a + d), (b - c))
-
-    (d15r, d15i), (d165r, d165i) = q2c_pair("lh")
-    (d45r, d45i), (d135r, d135i) = q2c_pair("hh")
-    (d75r, d75i), (d105r, d105i) = q2c_pair("hl")
-
-    highr = jnp.stack([d15r, d45r, d75r, d105r, d135r, d165r], axis=o_dim)
-    highi = jnp.stack([d15i, d45i, d75i, d105i, d135i, d165i], axis=o_dim)
-    return ll, highr, highi
+    lev = {"bands": [("lh", lh_spec), ("hl", hl_spec), ("hh", hh_spec)],
+           "ll": ll_spec}
+    lls, highs = analysis_pyramid(x, (lev,), o_dim)
+    highr, highi = highs[0]
+    return lls[0], highr, highi
 
 
 # orientation index pairs per subband (reference transform_funcs.py:75-95)
@@ -136,62 +102,12 @@ def synthesis_level(ll, highr, highi, ll_spec, lh_spec, hl_spec, hh_spec,
     Specs are (R, C) *synthesis* operator matrices: C (H_out x H_band_full)
     and R (W_out x W_band_full) of the unfused colfilter/colifilt +
     rowfilter/rowifilt on the full (interleaved) subband.  c2q's corner
-    scatter becomes input-side parity slices of C and R; the four corner
-    tensors per subband are packed as a 2x2 block matrix so each subband
-    costs one row-stage contraction, and a single stage-2 dot applies all
-    column operators at once.  ``ll`` may be None.
+    scatter becomes input-side parity slices of C and R.  ``ll`` may be
+    None.  A single level is a 1-entry pyramid (see
+    :func:`synthesis_pyramid`).
     """
-    r = jnp.moveaxis(highr, o_dim, 0)
-    i = jnp.moveaxis(highi, o_dim, 0)
-
-    # group subbands that share a row operator into one stage-1 dot
-    groups: dict = {}
-    for name, (R, C) in (("lh", lh_spec), ("hl", hl_spec),
-                         ("hh", hh_spec)):
-        groups.setdefault(id(R), (R, []))[1].append((name, C))
-
-    t_blocks = []     # stage-1 outputs (B, c, m_i, W_out)
-    c_blocks = []     # matching column operators (H_out, m_i)
-    for R, members in groups.values():
-        xqs, cms = [], []
-        for name, C in members:
-            o1, o2 = _SB_ORIENTS[name]
-            w1r, w1i, w2r, w2i = r[o1], i[o1], r[o2], i[o2]
-            # c2q corners (reference dtcwt/lowlevel.py:263-295)
-            x1 = w1r + w2r           # even row, even col
-            x2 = w1i + w2i           # even row, odd col
-            x3 = w1i - w2i           # odd row, even col
-            x4 = w2r - w1r           # odd row, odd col
-            # (the c2q 1/sqrt2 is folded into Rcat below)
-            top = jnp.concatenate([x1, x2], axis=-1)
-            bot = jnp.concatenate([x3, x4], axis=-1)
-            xqs.append(jnp.concatenate([top, bot], axis=-2))
-            cms.append(np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1))
-        c_blocks.append(np.ascontiguousarray(np.concatenate(cms, axis=1)))
-        xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
-        # c2q's 1/sqrt2 folded into the operator
-        Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T) * (1.0 / _SQRT2)
-        t_blocks.append(jnp.einsum(
-            "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
-            precision=get_matmul_precision()))
-
-    if ll is not None and ll_spec is not None:
-        R, C = ll_spec
-        t_blocks.append(_row_stage(ll, R))
-        c_blocks.append(C)
-
-    return _sum_col_apply(c_blocks, t_blocks)
-
-
-def _sum_col_apply(c_blocks, t_blocks):
-    """x_hat = sum_i C_i @ T_i as summed dots — avoids materialising the
-    concatenated (c, m)-stacked intermediate (a full extra HBM pass)."""
-    y = None
-    for C, t in zip(c_blocks, t_blocks):
-        contrib = jnp.einsum("hm,bcmw->bchw", jnp.asarray(C, t.dtype), t,
-                             precision=get_matmul_precision())
-        y = contrib if y is None else y + contrib
-    return y
+    lev = {"bands": [("lh", lh_spec), ("hl", hl_spec), ("hh", hh_spec)]}
+    return synthesis_pyramid((ll, ll_spec), [(highr, highi)], (lev,), o_dim)
 
 
 # --------------------------------------------------------------------------

@@ -42,18 +42,21 @@ def set_sandwich(enabled):
     _FORCE = enabled
 
 
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
 def sandwich_enabled(H, W, M, K) -> bool:
     # Measured on v5e: XLA's batched two-einsum lowering beats this
     # per-plane kernel ~2.4x (it contracts all planes in one big MXU
     # matmul, which outweighs the saved intermediate HBM round-trip), so
     # the kernel is opt-in via set_sandwich(True) until a plane-batched
-    # variant lands.
+    # variant lands.  Off-TPU a forced sandwich runs in Pallas interpret
+    # mode, which is how the kernel semantics stay under test on CPU.
     if not _HAS_PALLAS or _FORCE is None or not _FORCE:
-        return False
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:
         return False
     footprint = H * W + M * W + M * K + M * H + K * W
     return footprint <= _VMEM_LIMIT_FLOATS
@@ -79,6 +82,7 @@ def _sandwich_raw(x4, C, R):
     K = R.shape[0]
     return pl.pallas_call(
         _kernel,
+        interpret=_interpret(),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),

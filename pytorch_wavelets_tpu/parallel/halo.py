@@ -34,6 +34,12 @@ def halo_exchange_1d(x, axis: int, axis_name: str, left: int, right: int,
     idx = lax.axis_index(axis_name)
     parts = []
     W = x.shape[axis]
+    if max(left, right) > W:
+        raise ValueError(
+            f"halo ({left}, {right}) exceeds the local tile width {W} on "
+            f"axis {axis}: a single ring exchange only reaches the "
+            "immediate neighbour — reduce the level count J or the number "
+            "of spatial shards")
 
     if left > 0:
         # my left halo = right edge of my left neighbour (src i -> dst i+1)

@@ -656,7 +656,7 @@ def _compose(A, chain):
     return A if chain is None else np.ascontiguousarray(A @ chain)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)   # entries hold O(n^2) composed operator matrices
 def _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs, mode,
                       H, W):
     """Composed forward plan: per-level specs for analysis_pyramid, all
@@ -725,7 +725,7 @@ def dtcwt2d_pyramid(x, filters, J, skip_hps, include_scale, o_dim, ri_dim,
     return lls[-1], yh
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)   # entries hold O(n^2) composed operator matrices
 def _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw, highs_hw):
     """Composed inverse plan from coefficient shapes.
 
@@ -774,10 +774,14 @@ def _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw, highs_hw):
     for j in range(J):
         nh, nw = ns_h[j], ns_w[j]
         if j == 0:
-            C0 = _filter_matrix(g0o, mode, nh)
-            C1 = _filter_matrix(g1o, mode, nh)
-            R0 = _filter_matrix(g0o, mode, nw)
-            R1 = _filter_matrix(g1o, mode, nw)
+            # reference inv_j1 uses the caller mode when bandpasses exist
+            # but colfilter's default (symmetric) in the lowpass-only
+            # branch (reference transform_funcs.py:159 vs :166-177)
+            m1 = mode if highs_hw[0] is not None else "symmetric"
+            C0 = _filter_matrix(g0o, m1, nh)
+            C1 = _filter_matrix(g1o, m1, nh)
+            R0 = _filter_matrix(g0o, m1, nw)
+            R1 = _filter_matrix(g1o, m1, nw)
         else:
             if nh % 2 or nw % 2:
                 return None

@@ -139,6 +139,9 @@ def idtcwt2d(coeffs, filters, o_dim=2, ri_dim=-1, mode="symmetric"):
     out = _idtcwt2d_pyramid(low, highs, filters, o_dim, ri_dim, mode)
     if out is not None:
         return out
+    # reference accepts size-0 tensors for skipped levels
+    # (reference transform2d.py:206-208); normalise them to None
+    highs = [None if _is_empty(s) else s for s in highs]
 
     def _crop_low(low, s):
         r, c = low.shape[2:]

@@ -220,7 +220,7 @@ def _pool_compose(spec):
     return (Rp, Cp)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def _scat_front_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W):
     """J-level analysis plan with the final lowpass pooled 2x2."""
     from pytorch_wavelets_tpu.transforms.dtcwt import _fwd_pyramid_plan

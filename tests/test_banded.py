@@ -153,3 +153,31 @@ def test_composed_pyramid_gradients(force_matmul):
     g = jax.grad(loss)(x)
     g2 = _perlevel(lambda: jax.grad(loss)(x))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=3e-4)
+
+
+def test_composed_pyramid_lowpass_only_nonsym_mode(force_matmul):
+    """Level-1 lowpass-only inverse uses symmetric boundaries regardless of
+    mode (reference inv_j1 calls colfilter with its default there)."""
+    x = jnp.asarray(_rand((1, 2, 32, 32), seed=8))
+    fwd = tw.DTCWTForward(J=2, mode="zero")
+    inv = tw.DTCWTInverse(mode="zero")
+    yl, yh = fwd(x)
+    rec = inv((yl, [None, yh[1]]))
+    rec2 = _perlevel(lambda: inv((yl, [None, yh[1]])))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=3e-5)
+
+
+def test_inverse_accepts_empty_bandpass_arrays(force_matmul):
+    """Size-0 bandpass entries (the reference's torch.tensor([]) skip
+    convention) are treated as absent on both paths."""
+    x = jnp.asarray(_rand((1, 2, 32, 32), seed=9))
+    fwd = tw.DTCWTForward(J=2)
+    inv = tw.DTCWTInverse()
+    yl, yh = fwd(x)
+    empty = jnp.zeros((0,), jnp.float32)
+    rec_a = inv((yl, [empty, yh[1]]))
+    rec_b = inv((yl, [None, yh[1]]))
+    np.testing.assert_allclose(np.asarray(rec_a), np.asarray(rec_b))
+    rec_c = _perlevel(lambda: inv((yl, [empty, yh[1]])))
+    np.testing.assert_allclose(np.asarray(rec_a), np.asarray(rec_c),
+                               atol=3e-5)
