@@ -79,14 +79,103 @@ def probe_op(fn, n: int) -> np.ndarray:
 
 
 def apply_col(x, T):
-    """y[..., m, w] = sum_h T[m, h] * x[..., h, w] as an MXU matmul."""
+    """y[..., m, w] = sum_h T[m, h] * x[..., h, w] as an MXU matmul
+    (block-banded for large axes)."""
+    y = _apply_banded(x, T, 2)
+    if y is not None:
+        return y
     Tj = jnp.asarray(T, dtype=x.dtype)
     return jnp.einsum("mh,nchw->ncmw", Tj, x,
                       precision=get_matmul_precision())
 
 
 def apply_row(x, T):
-    """y[..., h, m] = sum_w T[m, w] * x[..., h, w] as an MXU matmul."""
+    """y[..., h, m] = sum_w T[m, w] * x[..., h, w] as an MXU matmul
+    (block-banded for large axes)."""
+    y = _apply_banded(x, T, 3)
+    if y is not None:
+        return y
     Tj = jnp.asarray(T, dtype=x.dtype)
     return jnp.einsum("mw,nchw->nchm", Tj, x,
                       precision=get_matmul_precision())
+
+
+# --------------------------------------------------------------------------
+# Block-banded evaluation for large axes
+#
+# A dense operator matmul costs O(n) FLOPs per output sample; the operators
+# are banded (support ~ filter length, growing 2^j for composed levels), so
+# past ~512 the MXU spends most of its time multiplying zeros.  The plan
+# below chunks output rows into 128-row tiles and contracts each tile only
+# against its (128-aligned) column support — contraction sizes quantize to
+# 128 on the MXU, so alignment costs nothing.  Periodization rows that wrap
+# both ends naturally fall out of the nonzero analysis as full-width tiles.
+# --------------------------------------------------------------------------
+
+_BANDED_MIN_N = 512        # below this the dense dot is already optimal
+_BANDED_MAX_RATIO = 0.75   # require >=25% FLOP saving to take the path
+_BANDED_CHUNK_ROWS = 128   # MXU-native output tile
+
+_PLAN_CACHE: dict = {}
+
+
+def _band_plan(T: np.ndarray):
+    """[(r0, r1, [(c0, c1), ...])] output-row chunks, each with the
+    128-aligned column segments covering its nonzeros (multiple segments
+    handle block-concatenated operators like [even | odd] parity stacks),
+    or None when chunking saves too little."""
+    M, N = T.shape
+    if N < _BANDED_MIN_N:
+        return None
+    key = (T.shape, T.dtype.str, hash(T.tobytes()))
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+    nz = np.abs(T) > (np.abs(T).max() * 1e-12 + 0.0)
+    nbins = (N + 127) // 128
+    chunks = []
+    total = 0
+    for r0 in range(0, M, _BANDED_CHUNK_ROWS):
+        r1 = min(r0 + _BANDED_CHUNK_ROWS, M)
+        cols = nz[r0:r1].any(axis=0)
+        binmask = np.zeros(nbins, bool)
+        for b in range(nbins):
+            binmask[b] = cols[b * 128:(b + 1) * 128].any()
+        if not binmask.any():
+            binmask[0] = True
+        segs = []
+        b = 0
+        while b < nbins:
+            if binmask[b]:
+                b2 = b
+                while b2 + 1 < nbins and binmask[b2 + 1]:
+                    b2 += 1
+                segs.append((b * 128, min(N, (b2 + 1) * 128)))
+                b = b2 + 1
+            else:
+                b += 1
+        chunks.append((r0, r1, segs))
+        total += (r1 - r0) * sum(c1 - c0 for c0, c1 in segs)
+    plan = chunks if total <= _BANDED_MAX_RATIO * M * N else None
+    _PLAN_CACHE[key] = plan
+    return plan
+
+
+def _apply_banded(x, T, axis):
+    plan = _band_plan(T) if isinstance(T, np.ndarray) else None
+    if plan is None:
+        return None
+    outs = []
+    for r0, r1, segs in plan:
+        acc = None
+        for c0, c1 in segs:
+            Tb = jnp.asarray(np.ascontiguousarray(T[r0:r1, c0:c1]),
+                             x.dtype)
+            if axis == 2:
+                part = jnp.einsum("mh,nchw->ncmw", Tb, x[:, :, c0:c1, :],
+                                  precision=get_matmul_precision())
+            else:
+                part = jnp.einsum("mw,nchw->nchm", Tb, x[:, :, :, c0:c1],
+                                  precision=get_matmul_precision())
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=axis) if len(outs) > 1 else outs[0]

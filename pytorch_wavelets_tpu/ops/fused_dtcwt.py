@@ -45,26 +45,27 @@ def _cat(*mats):
 
 
 def _row_stage(x, R_all):
-    """Z[..., h, k] = sum_w R_all[k, w] x[..., h, w] — one MXU dot."""
-    Rj = jnp.asarray(R_all, dtype=x.dtype)
-    return jnp.einsum("kw,bchw->bchk", Rj, x,
-                      precision=get_matmul_precision())
+    """Z[..., h, k] = sum_w R_all[k, w] x[..., h, w] — one MXU dot
+    (block-banded on large axes via ops.banded)."""
+    from pytorch_wavelets_tpu.ops.banded import apply_row
+    return apply_row(x, R_all)
 
 
 def _col_stage(z, C):
-    """Y[..., m, k] = sum_h C[m, h] z[..., h, k] — one MXU dot."""
-    Cj = jnp.asarray(C, dtype=z.dtype)
-    return jnp.einsum("mh,bchk->bcmk", Cj, z,
-                      precision=get_matmul_precision())
+    """Y[..., m, k] = sum_h C[m, h] z[..., h, k] — one MXU dot
+    (block-banded on large axes via ops.banded)."""
+    from pytorch_wavelets_tpu.ops.banded import apply_col
+    return apply_col(z, C)
 
 
 def _sum_col_apply(c_blocks, t_blocks):
     """x_hat = sum_i C_i @ T_i as summed dots — avoids materialising the
-    concatenated (c, m)-stacked intermediate (a full extra HBM pass)."""
+    concatenated (c, m)-stacked intermediate (a full extra HBM pass);
+    block-banded on large axes via ops.banded."""
+    from pytorch_wavelets_tpu.ops.banded import apply_col
     y = None
     for C, t in zip(c_blocks, t_blocks):
-        contrib = jnp.einsum("hm,bcmw->bchw", jnp.asarray(C, t.dtype), t,
-                             precision=get_matmul_precision())
+        contrib = apply_col(t, C)
         y = contrib if y is None else y + contrib
     return y
 
@@ -228,10 +229,9 @@ def synthesis_pyramid(ll, highs_ri, levels, o_dim):
             c_blocks.append(np.ascontiguousarray(
                 np.concatenate(cms, axis=1)))
             xq = jnp.concatenate(xqs, axis=-2) if len(xqs) > 1 else xqs[0]
-            Rcat = _cat(R[:, 0::2].T, R[:, 1::2].T) * (1.0 / _SQRT2)
-            t_blocks.append(jnp.einsum(
-                "kw,bcmk->bcmw", jnp.asarray(Rcat, xq.dtype), xq,
-                precision=get_matmul_precision()))
+            Rt = np.ascontiguousarray(
+                _cat(R[:, 0::2].T, R[:, 1::2].T).T * (1.0 / _SQRT2))
+            t_blocks.append(_row_stage(xq, Rt))
 
     ll_arr, ll_spec = ll
     if ll_arr is not None and ll_spec is not None:

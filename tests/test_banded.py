@@ -181,3 +181,24 @@ def test_inverse_accepts_empty_bandpass_arrays(force_matmul):
     rec_c = _perlevel(lambda: inv((yl, [empty, yh[1]])))
     np.testing.assert_allclose(np.asarray(rec_a), np.asarray(rec_c),
                                atol=3e-5)
+
+
+def test_block_banded_plan_matches_dense(force_matmul):
+    """The multi-segment block-banded evaluation (engaged for axes >= 512)
+    equals the dense operator matmul and the conv path."""
+    x = jnp.asarray(_rand((1, 1, 520, 512), seed=10))
+    fwd = tw.DWTForward(J=2, wave="db4", mode="symmetric")
+    inv = tw.DWTInverse(wave="db4", mode="symmetric")
+    yl, yh = fwd(x)
+    rec = inv((yl, yh))
+    banded.set_operator_matmul(False)
+    yl2, yh2 = fwd(x)
+    rec2 = inv((yl2, yh2))
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=1e-4)
+    for a, b in zip(yh, yh2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=1e-4)
+    # the plan must actually have engaged (and be multi-chunk)
+    from pytorch_wavelets_tpu.ops.banded import _PLAN_CACHE
+    assert any(p is not None and len(p) > 1
+               for p in _PLAN_CACHE.values())
