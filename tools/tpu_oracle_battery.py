@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Full-surface numerical battery: every transform family on the REAL TPU
+chip vs the reference package (torch CPU, loaded from /root/reference via
+tests.reference_oracle).  Prints one line per probe with the max abs error
+and FAILS (exit 1) if any exceeds its tolerance.
+
+Run:  python tools/tpu_oracle_battery.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+TOL = 2e-4      # f32 HIGHEST vs torch f32, data scale ~unit
+failures = []
+
+
+def check(name, ours, theirs, tol=TOL):
+    a = np.asarray(ours)
+    b = theirs.detach().numpy() if hasattr(theirs, "detach") else \
+        np.asarray(theirs)
+    err = float(np.abs(a - b).max()) if a.size else 0.0
+    status = "ok" if err <= tol else "FAIL"
+    print(f"{status:4s} {name:55s} maxerr={err:.2e}")
+    if err > tol:
+        failures.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import pytorch_wavelets_tpu as tw
+    from tests.reference_oracle import load_reference
+
+    torch, pw = load_reference()
+    assert jax.default_backend() == "tpu", (
+        "battery must run against the real chip")
+    rng = np.random.RandomState(0)
+
+    # ---- 2-D DWT: waves x modes x shapes (incl. odd) -------------------
+    for wave in ("db1", "db3", "bior2.4"):
+        for mode in ("zero", "symmetric", "reflect", "periodization"):
+            for shape in ((2, 3, 64, 64), (1, 2, 63, 49)):
+                x = rng.randn(*shape).astype(np.float32)
+                fo = tw.DWTForward(J=2, wave=wave, mode=mode)
+                fr = pw.DWTForward(J=2, wave=wave, mode=mode)
+                yl, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+                yl_r, yh_r = fr(torch.from_numpy(x))
+                tag = f"dwt2d {wave}/{mode}/{shape[-2:]}"
+                check(tag + " yl", yl, yl_r)
+                for j in range(2):
+                    check(f"{tag} yh[{j}]", yh[j], yh_r[j])
+                io = tw.DWTInverse(wave=wave, mode=mode)
+                ir = pw.DWTInverse(wave=wave, mode=mode)
+                check(tag + " inv", jax.jit(lambda c: io(c))((yl, yh)),
+                      ir((yl_r, yh_r)))
+
+    # ---- 1-D DWT -------------------------------------------------------
+    x = rng.randn(2, 3, 101).astype(np.float32)
+    fo = tw.DWT1DForward(J=3, wave="db2", mode="symmetric")
+    fr = pw.DWT1DForward(J=3, wave="db2", mode="symmetric")
+    x0, hs = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+    x0r, hsr = fr(torch.from_numpy(x))
+    check("dwt1d yl", x0, x0r)
+    for j in range(3):
+        check(f"dwt1d yh[{j}]", hs[j], hsr[j])
+    io = tw.DWT1DInverse(wave="db2", mode="symmetric")
+    ir = pw.DWT1DInverse(wave="db2", mode="symmetric")
+    check("dwt1d inv", jax.jit(lambda c: io(c))((x0, hs)), ir((x0r, hsr)))
+
+    # ---- SWT forward (reference has no working inverse) ----------------
+    x = rng.randn(1, 2, 64, 64).astype(np.float32)
+    fo = tw.SWTForward(J=2, wave="db2")
+    # SWTForward is not exported by the reference's __init__
+    from pytorch_wavelets.dwt.transform2d import SWTForward as RefSWT
+    fr = RefSWT(J=2, wave="db2")
+    got = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+    want = fr(torch.from_numpy(x))
+    for j in range(2):
+        check(f"swt level {j}", got[j], want[j])
+    # our inverse: perfect reconstruction (feature-add over the reference)
+    rec = jax.jit(lambda c: tw.SWTInverse(wave="db2")(c))(got)
+    check("swt inverse PR", rec, torch.from_numpy(x), tol=1e-4)
+
+    # ---- DTCWT: filter banks, layouts, variants ------------------------
+    for biort, qshift in (("near_sym_a", "qshift_a"),
+                          ("near_sym_b", "qshift_b"),
+                          ("antonini", "qshift_06"),
+                          ("legall", "qshift_c")):
+        for shape in ((1, 2, 64, 64), (1, 2, 63, 49)):
+            x = rng.randn(*shape).astype(np.float32)
+            fo = tw.DTCWTForward(J=3, biort=biort, qshift=qshift)
+            fr = pw.DTCWTForward(J=3, biort=biort, qshift=qshift)
+            yl, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+            yl_r, yh_r = fr(torch.from_numpy(x))
+            tag = f"dtcwt {biort}/{qshift}/{shape[-2:]}"
+            check(tag + " yl", yl, yl_r)
+            for j in range(3):
+                check(f"{tag} yh[{j}]", yh[j], yh_r[j])
+            io = tw.DTCWTInverse(biort=biort, qshift=qshift)
+            ir = pw.DTCWTInverse(biort=biort, qshift=qshift)
+            check(tag + " inv", jax.jit(lambda c: io(c))((yl, yh)),
+                  ir((yl_r, yh_r)))
+
+    # bandpass-diagonal variant
+    x = rng.randn(1, 2, 64, 64).astype(np.float32)
+    fo = tw.DTCWTForward(J=2, biort="near_sym_b_bp", qshift="qshift_b_bp")
+    fr = pw.DTCWTForward(J=2, biort="near_sym_b_bp", qshift="qshift_b_bp")
+    yl, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+    yl_r, yh_r = fr(torch.from_numpy(x))
+    check("dtcwt _bp yl", yl, yl_r)
+    check("dtcwt _bp yh[0]", yh[0], yh_r[0])
+    check("dtcwt _bp yh[1]", yh[1], yh_r[1])
+
+    # skip_hps + include_scale + layouts
+    x = rng.randn(1, 2, 64, 64).astype(np.float32)
+    fo = tw.DTCWTForward(J=3, skip_hps=[True, False, False],
+                         include_scale=True, o_dim=1, ri_dim=-1)
+    fr = pw.DTCWTForward(J=3, skip_hps=[True, False, False],
+                         include_scale=True, o_dim=1, ri_dim=-1)
+    sc, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+    sc_r, yh_r = fr(torch.from_numpy(x))
+    for j in range(3):
+        check(f"dtcwt scales[{j}]", sc[j], sc_r[j])
+        if j > 0:
+            check(f"dtcwt skip yh[{j}]", yh[j], yh_r[j])
+
+    # ---- ScatterNet -----------------------------------------------------
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    for kw in ({}, {"combine_colour": True},
+               {"biort": "near_sym_b_bp", "qshift": "qshift_b_bp"}):
+        mo = tw.ScatLayerj2(**kw)
+        mr = pw.ScatLayerj2(**kw)
+        tag = f"scatj2 {sorted(kw.keys())}"
+        check(tag, jax.jit(lambda z: mo(z))(jnp.asarray(x)),
+              mr(torch.from_numpy(x)), tol=5e-4)
+    for kw in ({}, {"combine_colour": True},
+               {"biort": "near_sym_b_bp"}):
+        mo = tw.ScatLayer(**kw)
+        mr = pw.ScatLayer(**kw)
+        tag = f"scatj1 {sorted(kw.keys())}"
+        check(tag, jax.jit(lambda z: mo(z))(jnp.asarray(x)),
+              mr(torch.from_numpy(x)), tol=5e-4)
+
+    # ---- gradients: fwd VJP == reference backward ----------------------
+    x = rng.randn(1, 2, 32, 32).astype(np.float32)
+    fo = tw.DTCWTForward(J=2)
+    fr = pw.DTCWTForward(J=2)
+
+    def loss(z):
+        yl, yh = fo(z)
+        import jax.numpy as jnp
+        return jnp.sum(yl ** 2) + sum(jnp.sum(h ** 2) for h in yh)
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(x))
+    xt = torch.from_numpy(x).requires_grad_(True)
+    yl_r, yh_r = fr(xt)
+    (yl_r.pow(2).sum() + sum(h.pow(2).sum() for h in yh_r)).backward()
+    check("dtcwt grad", g, xt.grad, tol=5e-4)
+
+    print(f"\n{'ALL OK' if not failures else 'FAILURES:'}",
+          ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
