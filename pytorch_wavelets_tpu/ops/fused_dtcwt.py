@@ -136,20 +136,12 @@ def _q2c_epilogue(quads, o_dim):
     return highr, highi
 
 
-def analysis_pyramid(x, levels, o_dim):
-    """Multi-level composed analysis.
-
-    ``levels``: per level a dict with
-      'bands': [('lh', (R, C)), ('hl', ...), ('hh', ...)] or None (skipped),
-      'll':    (R, C) or None — only set when this level's lowpass is an
-               output (final level / include_scale).
-    All operators are composed to act directly on x.  Returns
-    (lls, highs): lists with lls[j] the lowpass output or None and
-    highs[j] = (highr, highi) or None.
-    """
+def _pyramid_layout(levels):
+    """Stage-1 row-operator blocks + per-level stage-2 plan (pure python,
+    shared by the forward and the hand-written VJP)."""
     blocks = []
     ofs = 0
-    plan = []          # per level: ('ll', slice) / group entries
+    plan = []
     for lev in levels:
         entry = {"groups": [], "ll": None}
         if lev.get("bands"):
@@ -167,7 +159,16 @@ def analysis_pyramid(x, levels, o_dim):
             entry["ll"] = (C, ofs, R.shape[0])
             ofs += R.shape[0]
         plan.append(entry)
+    return blocks, plan
 
+
+def _cstack(members):
+    return _cat(*[C[p::2] for _, C in members
+                  for p in (0, 1)]) * (1.0 / _SQRT2)
+
+
+def _analysis_pyramid_impl(x, levels, o_dim):
+    blocks, plan = _pyramid_layout(levels)
     z = _row_stage(x, _cat(*blocks))
 
     lls, highs = [], []
@@ -175,9 +176,7 @@ def analysis_pyramid(x, levels, o_dim):
         quads = {}
         for members, go, gn in entry["groups"]:
             k = gn // 2
-            Cstack = _cat(*[C[p::2] for _, C in members
-                            for p in (0, 1)]) * (1.0 / _SQRT2)
-            y = _col_stage(z[..., go:go + gn], Cstack)
+            y = _col_stage(z[..., go:go + gn], _cstack(members))
             mofs = 0
             for name, C in members:
                 m = C[0::2].shape[0]
@@ -193,6 +192,84 @@ def analysis_pyramid(x, levels, o_dim):
         else:
             lls.append(None)
     return lls, highs
+
+
+def analysis_pyramid(x, levels, o_dim):
+    """Multi-level composed analysis.
+
+    ``levels``: per level a dict with
+      'bands': [('lh', (R, C)), ('hl', ...), ('hh', ...)] or None (skipped),
+      'll':    (R, C) or None — only set when this level's lowpass is an
+               output (final level / include_scale).
+    All operators are composed to act directly on x.  Returns
+    (lls, highs): lists with lls[j] the lowpass output or None and
+    highs[j] = (highr, highi) or None.
+
+    Carries a hand-written VJP: the outputs consume disjoint slices of the
+    shared stage-1 intermediate, so the cotangent is assembled by
+    CONCATENATING per-consumer blocks — autodiff's slice adjoints would
+    instead pad each block to full size and sum them, a large extra HBM
+    cost in training steps.
+    """
+    import jax
+
+    @jax.custom_vjp
+    def op(x):
+        return _analysis_pyramid_impl(x, levels, o_dim)
+
+    meta = {}
+
+    def fwd_rule(x):
+        meta["shape"], meta["dtype"] = x.shape, x.dtype   # static, trace-time
+        return op(x), None
+
+    def bwd_rule(res, cts):
+        B, Cc, H, _ = meta["shape"]
+        dtype = meta["dtype"]
+        lls_ct, highs_ct = cts
+        blocks, plan = _pyramid_layout(levels)
+        dz_parts = []
+        for j, entry in enumerate(plan):
+            hct = highs_ct[j]
+            dhr = dhi = None
+            if hct is not None and entry["groups"]:
+                dhr = jnp.moveaxis(hct[0], o_dim, 0)
+                dhi = jnp.moveaxis(hct[1], o_dim, 0)
+            for members, go, gn in entry["groups"]:
+                if dhr is None:
+                    dz_parts.append(jnp.zeros((B, Cc, H, gn), dtype))
+                    continue
+                dys = []
+                for name, C in members:
+                    o1, o2 = _SB_ORIENTS[name]
+                    # adjoint of the (orthogonal) q2c butterfly == the c2q
+                    # corner combine (operators carry the 1/sqrt2)
+                    da = dhr[o1] + dhr[o2]
+                    db = dhi[o1] + dhi[o2]
+                    dc = dhi[o1] - dhi[o2]
+                    dd = dhr[o2] - dhr[o1]
+                    top = jnp.concatenate([da, db], axis=-1)
+                    bot = jnp.concatenate([dc, dd], axis=-1)
+                    dys.append(jnp.concatenate([top, bot], axis=-2))
+                dy = jnp.concatenate(dys, axis=-2) if len(dys) > 1 else dys[0]
+                dz_parts.append(_col_stage(
+                    dy, np.ascontiguousarray(_cstack(members).T)))
+            if entry["ll"] is not None:
+                C, go, gn = entry["ll"]
+                lct = lls_ct[j]
+                if lct is None:
+                    dz_parts.append(jnp.zeros((B, Cc, H, gn), dtype))
+                else:
+                    dz_parts.append(_col_stage(
+                        lct, np.ascontiguousarray(C.T)))
+        dz = (jnp.concatenate(dz_parts, axis=-1) if len(dz_parts) > 1
+              else dz_parts[0])
+        R_all = _cat(*blocks)
+        dx = _row_stage(dz, np.ascontiguousarray(R_all.T))
+        return (dx,)
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op(x)
 
 
 def synthesis_pyramid(ll, highs_ri, levels, o_dim):

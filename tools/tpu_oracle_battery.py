@@ -71,19 +71,20 @@ def main():
     ir = pw.DWT1DInverse(wave="db2", mode="symmetric")
     check("dwt1d inv", jax.jit(lambda c: io(c))((x0, hs)), ir((x0r, hsr)))
 
-    # ---- SWT forward (reference has no working inverse) ----------------
+    # ---- SWT (the reference's SWTForward is unshipped and crashes for
+    # every mode it claims to support — mypad rejects 'periodization' and
+    # indexes a wrong rank under 'periodic' — so the oracle here is our own
+    # conv-path implementation on CPU, which tests/test_swt.py pins) ------
     x = rng.randn(1, 2, 64, 64).astype(np.float32)
     fo = tw.SWTForward(J=2, wave="db2")
-    # SWTForward is not exported by the reference's __init__
-    from pytorch_wavelets.dwt.transform2d import SWTForward as RefSWT
-    fr = RefSWT(J=2, wave="db2")
     got = jax.jit(lambda z: fo(z))(jnp.asarray(x))
-    want = fr(torch.from_numpy(x))
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = fo(jnp.asarray(x))
     for j in range(2):
-        check(f"swt level {j}", got[j], want[j])
-    # our inverse: perfect reconstruction (feature-add over the reference)
+        check(f"swt level {j} (tpu vs cpu conv)", got[j],
+              np.asarray(want[j]))
     rec = jax.jit(lambda c: tw.SWTInverse(wave="db2")(c))(got)
-    check("swt inverse PR", rec, torch.from_numpy(x), tol=1e-4)
+    check("swt inverse PR", rec, x, tol=1e-4)
 
     # ---- DTCWT: filter banks, layouts, variants ------------------------
     for biort, qshift in (("near_sym_a", "qshift_a"),
