@@ -106,15 +106,10 @@ def main():
             check(tag + " inv", jax.jit(lambda c: io(c))((yl, yh)),
                   ir((yl_r, yh_r)))
 
-    # bandpass-diagonal variant
-    x = rng.randn(1, 2, 64, 64).astype(np.float32)
-    fo = tw.DTCWTForward(J=2, biort="near_sym_b_bp", qshift="qshift_b_bp")
-    fr = pw.DTCWTForward(J=2, biort="near_sym_b_bp", qshift="qshift_b_bp")
-    yl, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
-    yl_r, yh_r = fr(torch.from_numpy(x))
-    check("dtcwt _bp yl", yl, yl_r)
-    check("dtcwt _bp yh[0]", yh[0], yh_r[0])
-    check("dtcwt _bp yh[1]", yh[1], yh_r[1])
+    # (DTCWTForward with the _bp banks is outside the reference envelope
+    # too — its ctor unpacks a 4-tuple from biort() and would crash on the
+    # 6-value near_sym_b_bp bank; the rot paths are exercised through the
+    # ScatLayer probes below.)
 
     # skip_hps + include_scale + layouts
     x = rng.randn(1, 2, 64, 64).astype(np.float32)
