@@ -21,7 +21,7 @@ import numpy as np
 BASELINE_MPIX_S = 110.7  # GTX1080 end-to-end J=2 (docs/speed.rst:37-40)
 
 
-def _timed_readback(fn, x, iters=5):
+def _timed_readback(fn, x, iters=8):
     """Min-of-iters single-shot timings with forced host readback (the
     tunnel adds +-1-2 ms of per-call noise; min is the robust estimator)."""
     float(np.asarray(fn(x)).ravel()[0])  # warm-up / compile

@@ -15,9 +15,17 @@ import os as _os
 # behind remote-compile tunnels.
 _flags = _os.environ.get("XLA_FLAGS", "")
 if "space-to-batch-converter" not in _flags:
-    _os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_disable_hlo_passes=space-to-batch-converter"
-    ).strip()
+    # merge with (not clobber) any user-provided pass-disable list —
+    # XLA keeps only the last occurrence of a repeated flag
+    _prefix = "--xla_disable_hlo_passes="
+    _parts = _flags.split()
+    for _i, _p in enumerate(_parts):
+        if _p.startswith(_prefix):
+            _parts[_i] = _p + ",space-to-batch-converter"
+            break
+    else:
+        _parts.append(_prefix + "space-to-batch-converter")
+    _os.environ["XLA_FLAGS"] = " ".join(_parts)
 
 from pytorch_wavelets_tpu._version import __version__  # noqa: F401
 from pytorch_wavelets_tpu.ops.precision import (  # noqa: F401

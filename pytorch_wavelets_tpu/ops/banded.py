@@ -127,7 +127,9 @@ def _band_plan(T: np.ndarray):
     M, N = T.shape
     if N < _BANDED_MIN_N:
         return None
-    key = (T.shape, T.dtype.str, hash(T.tobytes()))
+    import hashlib
+    key = (T.shape, T.dtype.str,
+           hashlib.sha1(T.tobytes()).hexdigest())
     if key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
     nz = np.abs(T) > (np.abs(T).max() * 1e-12 + 0.0)

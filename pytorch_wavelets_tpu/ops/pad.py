@@ -40,16 +40,13 @@ def pad1d(x: jnp.ndarray, front: int, back: int, axis: int,
     axis = axis % x.ndim
     n = x.shape[axis]
     if jmode in ("symmetric", "reflect", "wrap") and max(front, back) > n:
-        # jnp.pad only extends by at most one period/reflection at a time;
-        # iterate for very small inputs vs very long filters.
-        limit = n if jmode != "reflect" else n - 1
-        f, b = front, back
-        while f > 0 or b > 0:
-            step_f, step_b = min(f, limit), min(b, limit)
-            pads[axis] = (step_f, step_b)
-            x = jnp.pad(x, pads, mode=jmode)
-            f, b = f - step_f, b - step_b
-            limit = x.shape[axis] if jmode != "reflect" else x.shape[axis] - 1
-        return x
+        # jnp.pad only extends by at most one period/reflection at a time,
+        # and stacking pads of a grown array mis-aligns wrap/reflect
+        # phases.  These oversize pads only occur for tiny inputs vs long
+        # (dilated) filters on the conv/probe path, so use an exact static
+        # index map computed by numpy (which handles any pad size).
+        import numpy as np
+        idx = np.pad(np.arange(n), (front, back), mode=jmode)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
     pads[axis] = (front, back)
     return jnp.pad(x, pads, mode=jmode)

@@ -138,7 +138,9 @@ def _intern(A: np.ndarray):
     # content-keyed interning so custom_vjp sees a hashable, stable token
     # per distinct operator matrix (slicing upstream creates fresh array
     # objects each trace)
-    key = (A.shape, A.dtype.str, hash(A.tobytes()))
+    import hashlib
+    key = (A.shape, A.dtype.str,
+           hashlib.sha1(A.tobytes()).hexdigest())
     if key not in _MATS:
         _MATS[key] = A
     return key

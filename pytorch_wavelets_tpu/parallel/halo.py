@@ -46,7 +46,7 @@ def halo_exchange_1d(x, axis: int, axis_name: str, left: int, right: int,
         mine_tail = _edge(x, axis, W - left, left)
         ring = lax.ppermute(mine_tail, axis_name,
                             [(i, (i + 1) % n) for i in range(n)])
-        if boundary == "wrap" or n == 1 and boundary == "wrap":
+        if boundary == "wrap":
             halo = ring
         elif boundary == "symmetric":
             refl = jnp.flip(_edge(x, axis, 0, left), axis=axis)

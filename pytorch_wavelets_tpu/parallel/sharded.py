@@ -54,6 +54,12 @@ def _afb1d_per_sharded(x, kernels, axis, axis_name):
 
 def _afb1d_per_local(x, kernels, axis):
     from pytorch_wavelets_tpu.ops.pad import pad1d
+    if x.shape[axis] % 2 == 1:
+        # periodization repeats the last sample to even the axis
+        # (reference dwt/lowlevel.py:138-140)
+        last = lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                                axis=axis)
+        x = jnp.concatenate([x, last], axis=axis)
     L = kernels.shape[1]
     L2 = L // 2
     xp = pad1d(x, L - 1 - L2, max(L2 - 1, 0), axis, "periodic")

@@ -566,15 +566,15 @@ def _make_inv_j1_op(g0, g1, has_lows, has_highs, o_dim, ri_dim, mode):
                       mode)
 
     def fwd(lows, highs):
-        return op(lows, highs), (lows, highs)
+        # no residuals: callers pass None exactly when has_* is False, so
+        # the cotangent for an absent input is None — saving the inputs
+        # would pin every level's coefficients through the backward pass
+        return op(lows, highs), None
 
     def bwd(res, dy):
-        lows, highs = res
         dl, dhr, dhi = fwd_j1(dy, G0, G1, not has_highs, od, mode)
-        dh = (jnp.stack((dhr, dhi), axis=rd) if has_highs else
-              (jnp.zeros_like(highs) if highs is not None else None))
-        dlow = dl if has_lows else (jnp.zeros_like(lows)
-                                    if lows is not None else None)
+        dh = jnp.stack((dhr, dhi), axis=rd) if has_highs else None
+        dlow = dl if has_lows else None
         return dlow, dh
 
     op.defvjp(fwd, bwd)
@@ -604,16 +604,13 @@ def _make_inv_j2plus_op(g0a, g1a, g0b, g1b, has_lows, has_highs, o_dim,
                           G1b, od, hd, wd, mode)
 
     def fwd(lows, highs):
-        return op(lows, highs), (lows, highs)
+        return op(lows, highs), None
 
     def bwd(res, dy):
-        lows, highs = res
         dl, dhr, dhi = fwd_j2plus(dy, G0b, G1b, G0a, G1a, not has_highs, od,
                                   mode)
-        dh = (jnp.stack((dhr, dhi), axis=rd) if has_highs else
-              (jnp.zeros_like(highs) if highs is not None else None))
-        dlow = dl if has_lows else (jnp.zeros_like(lows)
-                                    if lows is not None else None)
+        dh = jnp.stack((dhr, dhi), axis=rd) if has_highs else None
+        dlow = dl if has_lows else None
         return dlow, dh
 
     op.defvjp(fwd, bwd)

@@ -211,7 +211,8 @@ def dwt2d(x, wave="db1", J=1, mode="zero"):
         # argument slots (dwt/transform2d.py:70-71 vs dwt/lowlevel.py:336),
         # so the first pair of a 4-tuple wave filters along W.  Replicated
         # here by swapping the pairs (invisible when col == row filters).
-        op = _make_afb2d_op(h0r, h1r, h0c, h1c, mode, ll.shape)
+        op = _make_afb2d_op(h0r, h1r, h0c, h1c, mode,
+                            ll.shape[-2:])
         ll, high = op(ll)
         yh.append(high)
     return ll, yh
@@ -299,7 +300,6 @@ def iswt2d(coeffs, wave="db1", mode="periodization"):
     ``wave`` must resolve to the *analysis* filters used by swt2d.
     """
     from pytorch_wavelets_tpu.ops import banded
-    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh0c, rh1c = _tup(_rev(h0c)), _tup(_rev(h1c))
     rh0r, rh1r = _tup(_rev(h0r)), _tup(_rev(h1r))

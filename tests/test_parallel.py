@@ -110,3 +110,15 @@ def test_halo_iswt_roundtrip(mesh):
     coeffs = sharded_swt2d(x, mesh, wave="db3", J=2)
     rec = sharded_iswt2d(coeffs, mesh, wave="db3")
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-5)
+
+
+def test_halo_dwt_odd_height(mesh):
+    """Odd H (unsharded axis) takes the periodization make-even repeat,
+    matching the single-device pyramid."""
+    x = jnp.asarray(np.random.RandomState(4).randn(4, 1, 7, 32)
+                    .astype(np.float32))
+    yl, yh = sharded_dwt2d(x, mesh, wave="db2", J=1)
+    yl2, yh2 = dwt2d(x, "db2", J=1, mode="periodization")
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yh[0]), np.asarray(yh2[0]),
+                               atol=2e-5)

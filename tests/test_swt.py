@@ -59,3 +59,26 @@ def test_swt_shapes():
     assert len(ys) == 3
     for y in ys:
         assert y.shape == (1, 2, 4, 32, 32)
+
+
+def test_swt_tiny_image_long_filter():
+    """Pads larger than the axis (dilated db4 on a 7x7 image) are exact
+    multi-period extensions (regression: iterative jnp.pad mis-aligned
+    wrap/reflect phases for unequal oversize pads)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pytorch_wavelets_tpu.transforms.dwt import swt2d, iswt2d
+
+    x = np.random.RandomState(0).randn(1, 1, 7, 7).astype(np.float32)
+    c = swt2d(jnp.asarray(x), "db4", J=2, mode="periodic")
+    r = iswt2d(c, "db4", mode="periodic")
+    np.testing.assert_allclose(np.asarray(r), x, atol=2e-5)
+    # direct pad parity vs numpy for the oversize cases
+    from pytorch_wavelets_tpu.ops.pad import pad1d
+    v = np.arange(1, 8.0)[None, None, None, :]
+    for mode, npmode in (("symmetric", "symmetric"),
+                         ("reflect", "reflect"), ("periodic", "wrap")):
+        for f, b in ((6, 8), (15, 3), (20, 1)):
+            ours = np.asarray(pad1d(jnp.asarray(v), f, b, 3, mode))
+            want = np.pad(v[0, 0, 0], (f, b), mode=npmode)
+            np.testing.assert_allclose(ours[0, 0, 0], want)
