@@ -33,10 +33,16 @@ from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
 __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
            "MAX_MATMUL_N"]
 
-# Above this axis length the dense operator matrix costs more FLOPs/memory
-# than it saves; fall back to the conv path (a block-banded matmul path can
-# raise this later).
-MAX_MATMUL_N = 4096
+# Above this axis length the identity-probe (an NxN host conv + an NxN
+# f32 matrix per op) becomes the cost driver and we fall back to the conv
+# path.  The cap must comfortably exceed 2x the largest intended image
+# axis: synthesis merges check matmul_enabled(2n), and symmetric-mode
+# level sizes run a few samples over the power of two (e.g. 4096 ->
+# lo/hi of 2051 -> merge operator over 4102).  NOTE the conv fallback is
+# pathological on TPU for small channel counts (XLA pads NCHW convs
+# ~128x in layout at these sizes) — prefer sharding over conv for
+# gigantic images.
+MAX_MATMUL_N = 8832
 
 _FORCE = None  # None = auto (matmul unless CPU backend); True/False force
 
