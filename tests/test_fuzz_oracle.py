@@ -1,0 +1,113 @@
+"""Seeded fuzz directly against the reference package (torch CPU).
+
+The fixed-grid parity suites pin known configurations; this sweep samples
+the configuration space (shapes x waves x modes x J x variant flags) and
+compares outputs to the actual reference implementation loaded from
+/root/reference.  Complements tools/tpu_oracle_battery.py (same oracle on
+the real chip).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import pytorch_wavelets_tpu as tw
+from tests.reference_oracle import load_reference
+
+torch, pw = load_reference()
+
+WAVES = ["db1", "db2", "db3", "db4", "sym3", "bior2.2"]
+MODES = ["zero", "symmetric", "reflect", "periodization"]
+BANKS = [("near_sym_a", "qshift_a"), ("near_sym_b", "qshift_b"),
+         ("antonini", "qshift_06"), ("legall", "qshift_c"),
+         ("near_sym_a", "qshift_d")]
+
+
+def _cmp(a, b, tol=2e-4, msg=""):
+    np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
+                               atol=tol, err_msg=msg)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_dwt_vs_reference(seed):
+    rng = np.random.RandomState(5000 + seed)
+    H, W = int(rng.randint(8, 90)), int(rng.randint(8, 90))
+    wave = WAVES[rng.randint(len(WAVES))]
+    mode = MODES[rng.randint(len(MODES))]
+    J = int(rng.randint(1, 4))
+    msg = f"wave={wave} mode={mode} J={J} shape={(H, W)}"
+    x = rng.randn(1, 2, H, W).astype(np.float32)
+    yl, yh = tw.DWTForward(J=J, wave=wave, mode=mode)(jnp.asarray(x))
+    yl_r, yh_r = pw.DWTForward(J=J, wave=wave, mode=mode)(
+        torch.from_numpy(x))
+    _cmp(yl, yl_r, msg=msg)
+    for a, b in zip(yh, yh_r):
+        _cmp(a, b, msg=msg)
+    rec = tw.DWTInverse(wave=wave, mode=mode)((yl, yh))
+    rec_r = pw.DWTInverse(wave=wave, mode=mode)((yl_r, yh_r))
+    _cmp(rec, rec_r, msg=msg)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_dtcwt_vs_reference(seed):
+    rng = np.random.RandomState(6000 + seed)
+    H, W = int(rng.randint(16, 96)), int(rng.randint(16, 96))
+    biort, qshift = BANKS[rng.randint(len(BANKS))]
+    J = int(rng.randint(1, 4))
+    skip = [bool(rng.randint(2)) for _ in range(J)]
+    inc = [bool(rng.randint(2)) for _ in range(J)]
+    msg = f"{biort}/{qshift} J={J} shape={(H, W)} skip={skip} inc={inc}"
+    x = rng.randn(1, 2, H, W).astype(np.float32)
+    fo = tw.DTCWTForward(J=J, biort=biort, qshift=qshift, skip_hps=skip,
+                         include_scale=inc)
+    fr = pw.DTCWTForward(J=J, biort=biort, qshift=qshift, skip_hps=skip,
+                         include_scale=inc)
+    out = fo(jnp.asarray(x))
+    out_r = fr(torch.from_numpy(x))
+    first, yh = out
+    first_r, yh_r = out_r
+    if True in inc:
+        for j in range(J):
+            if inc[j]:
+                _cmp(first[j], first_r[j], msg=msg + f" scale{j}")
+    else:
+        _cmp(first, first_r, msg=msg)
+    for j in range(J):
+        if not skip[j]:
+            _cmp(yh[j], yh_r[j], msg=msg + f" yh{j}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_dtcwt_inverse_vs_reference(seed):
+    rng = np.random.RandomState(7000 + seed)
+    biort, qshift = BANKS[rng.randint(len(BANKS))]
+    J = int(rng.randint(1, 4))
+    # random coefficient pyramid: yh[0] finest, each level half the last,
+    # lowpass 2x the coarsest band
+    scale = 2 ** (J - 1)
+    h0 = int(rng.randint(3, 12)) * scale
+    w0 = int(rng.randint(3, 12)) * scale
+    yh_np = [rng.randn(1, 2, 6, h0 >> j, w0 >> j, 2).astype(np.float32)
+             for j in range(J)]
+    yl_np = rng.randn(1, 2, (h0 >> (J - 1)) * 2,
+                      (w0 >> (J - 1)) * 2).astype(np.float32)
+    msg = f"{biort}/{qshift} J={J} yl={yl_np.shape}"
+    io = tw.DTCWTInverse(biort=biort, qshift=qshift)
+    ir = pw.DTCWTInverse(biort=biort, qshift=qshift)
+    rec = io((jnp.asarray(yl_np), [jnp.asarray(h) for h in yh_np]))
+    rec_r = ir((torch.from_numpy(yl_np),
+                [torch.from_numpy(h) for h in yh_np]))
+    _cmp(rec, rec_r, tol=5e-4, msg=msg)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_scat_vs_reference(seed):
+    rng = np.random.RandomState(8000 + seed)
+    H, W = int(rng.randint(32, 80)), int(rng.randint(32, 80))
+    colour = bool(rng.randint(2))
+    magbias = [1e-1, 1e-2, 1e-3][rng.randint(3)]
+    x = rng.randn(1, 3, H, W).astype(np.float32)
+    msg = f"colour={colour} magbias={magbias} shape={(H, W)}"
+    mo = tw.ScatLayerj2(combine_colour=colour, magbias=magbias)
+    mr = pw.ScatLayerj2(combine_colour=colour, magbias=magbias)
+    _cmp(mo(jnp.asarray(x)), mr(torch.from_numpy(x)), tol=5e-4, msg=msg)
