@@ -161,3 +161,27 @@ def test_end_to_end_jit():
 
     np.testing.assert_allclose(np.asarray(roundtrip(x)), np.asarray(x),
                                atol=1e-4)
+
+
+def test_deep_pyramid_parity():
+    """J=4..6 (the reference tests to J=5) end-to-end vs the reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.reference_oracle import load_reference
+    import pytorch_wavelets_tpu as tw
+
+    torch, pw = load_reference()
+    x = np.random.RandomState(0).randn(1, 2, 128, 128).astype(np.float32)
+    for J in (4, 5, 6):
+        fo, fr = tw.DTCWTForward(J=J), pw.DTCWTForward(J=J)
+        yl, yh = fo(jnp.asarray(x))
+        yl_r, yh_r = fr(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(yl), yl_r.detach().numpy(),
+                                   atol=2e-4)
+        for a, b in zip(yh, yh_r):
+            np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
+                                       atol=2e-4)
+        rec = tw.DTCWTInverse()((yl, yh))
+        rec_r = pw.DTCWTInverse()((yl_r, yh_r))
+        np.testing.assert_allclose(np.asarray(rec), rec_r.detach().numpy(),
+                                   atol=2e-4)
