@@ -19,10 +19,10 @@ if "space-to-batch-converter" not in _flags:
     # XLA keeps only the last occurrence of a repeated flag
     _prefix = "--xla_disable_hlo_passes="
     _parts = _flags.split()
-    for _i, _p in enumerate(_parts):
-        if _p.startswith(_prefix):
-            _parts[_i] = _p + ",space-to-batch-converter"
-            break
+    _hits = [_i for _i, _p in enumerate(_parts) if _p.startswith(_prefix)]
+    if _hits:
+        # XLA keeps only the LAST occurrence of a repeated flag
+        _parts[_hits[-1]] += ",space-to-batch-converter"
     else:
         _parts.append(_prefix + "space-to-batch-converter")
     _os.environ["XLA_FLAGS"] = " ".join(_parts)

@@ -125,17 +125,22 @@ _BANDED_CHUNK_ROWS = 128   # MXU-native output tile
 _PLAN_CACHE: dict = {}
 
 
+def content_key(A: np.ndarray):
+    """Collision-safe content key for caching trace-time operator
+    matrices (hash() of bytes can silently collide)."""
+    import hashlib
+    return (A.shape, A.dtype.str, hashlib.sha1(A.tobytes()).hexdigest())
+
+
 def _band_plan(T: np.ndarray):
     """[(r0, r1, [(c0, c1), ...])] output-row chunks, each with the
     128-aligned column segments covering its nonzeros (multiple segments
     handle block-concatenated operators like [even | odd] parity stacks),
     or None when chunking saves too little."""
     M, N = T.shape
-    if N < _BANDED_MIN_N:
+    if N < _BANDED_MIN_N or M == 0 or T.size == 0:
         return None
-    import hashlib
-    key = (T.shape, T.dtype.str,
-           hashlib.sha1(T.tobytes()).hexdigest())
+    key = content_key(T)
     if key in _PLAN_CACHE:
         return _PLAN_CACHE[key]
     nz = np.abs(T) > (np.abs(T).max() * 1e-12 + 0.0)

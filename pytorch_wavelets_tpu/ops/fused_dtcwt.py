@@ -205,27 +205,20 @@ def analysis_pyramid(x, levels, o_dim):
     (lls, highs): lists with lls[j] the lowpass output or None and
     highs[j] = (highr, highi) or None.
 
-    Carries a hand-written VJP: the outputs consume disjoint slices of the
-    shared stage-1 intermediate, so the cotangent is assembled by
-    CONCATENATING per-consumer blocks — autodiff's slice adjoints would
-    instead pad each block to full size and sum them, a large extra HBM
-    cost in training steps.
+    Registered via ``jax.custom_derivatives.linear_call`` (the transform
+    is linear): forward-mode AD reapplies the forward, while the
+    hand-written transpose assembles the stage-1 cotangent by
+    CONCATENATING the disjoint per-consumer blocks — plain reverse-mode
+    autodiff would pad each slice-consumer's cotangent to full size and
+    sum them, a large extra HBM cost in training steps.
     """
-    import jax
+    B, Cc, H, _ = x.shape
+    dtype = x.dtype
 
-    @jax.custom_vjp
-    def op(x):
-        return _analysis_pyramid_impl(x, levels, o_dim)
+    def fwd_fn(_, xv):
+        return _analysis_pyramid_impl(xv, levels, o_dim)
 
-    meta = {}
-
-    def fwd_rule(x):
-        meta["shape"], meta["dtype"] = x.shape, x.dtype   # static, trace-time
-        return op(x), None
-
-    def bwd_rule(res, cts):
-        B, Cc, H, _ = meta["shape"]
-        dtype = meta["dtype"]
+    def transpose_fn(_, cts):
         lls_ct, highs_ct = cts
         blocks, plan = _pyramid_layout(levels)
         dz_parts = []
@@ -265,11 +258,13 @@ def analysis_pyramid(x, levels, o_dim):
         dz = (jnp.concatenate(dz_parts, axis=-1) if len(dz_parts) > 1
               else dz_parts[0])
         R_all = _cat(*blocks)
-        dx = _row_stage(dz, np.ascontiguousarray(R_all.T))
-        return (dx,)
+        return _row_stage(dz, np.ascontiguousarray(R_all.T))
 
-    op.defvjp(fwd_rule, bwd_rule)
-    return op(x)
+    try:
+        from jax.custom_derivatives import linear_call
+    except ImportError:  # pragma: no cover - plain autodiff fallback
+        return _analysis_pyramid_impl(x, levels, o_dim)
+    return linear_call(fwd_fn, transpose_fn, (), x)
 
 
 def synthesis_pyramid(ll, highs_ri, levels, o_dim):

@@ -138,9 +138,8 @@ def _intern(A: np.ndarray):
     # content-keyed interning so custom_vjp sees a hashable, stable token
     # per distinct operator matrix (slicing upstream creates fresh array
     # objects each trace)
-    import hashlib
-    key = (A.shape, A.dtype.str,
-           hashlib.sha1(A.tobytes()).hexdigest())
+    from pytorch_wavelets_tpu.ops.banded import content_key
+    key = content_key(A)
     if key not in _MATS:
         _MATS[key] = A
     return key

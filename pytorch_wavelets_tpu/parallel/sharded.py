@@ -146,6 +146,9 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
 
     def local(ll, highs):
         for h in highs[::-1]:
+            # odd-H pyramids: the synthesized lowpass is one replicated
+            # row longer than the next level's bands — crop to match
+            ll = ll[:, :, :h.shape[-2]]
             lo = _sfb1d_per_local(ll, h[:, :, 0], g0c, g1c, 2)
             hi = _sfb1d_per_local(h[:, :, 1], h[:, :, 2], g0c, g1c, 2)
             ll = _sfb1d_per_sharded(lo, hi, g0r, g1r, 3, "spatial")

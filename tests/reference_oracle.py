@@ -48,10 +48,19 @@ def _install_shims():
 
 
 def load_reference():
-    """Returns (torch, pytorch_wavelets) with shims installed."""
-    _install_shims()
-    if _REF_PATH not in sys.path:
-        sys.path.insert(0, _REF_PATH)
-    import torch  # noqa: F401
-    import pytorch_wavelets  # noqa: F401
-    return torch, pytorch_wavelets
+    """Returns (torch, pytorch_wavelets) with shims installed.
+
+    Under pytest, an unavailable reference checkout (e.g. hosted CI)
+    skips the calling test instead of erroring."""
+    try:
+        _install_shims()
+        if _REF_PATH not in sys.path:
+            sys.path.insert(0, _REF_PATH)
+        import torch  # noqa: F401
+        import pytorch_wavelets  # noqa: F401
+        return torch, pytorch_wavelets
+    except Exception:
+        if "pytest" in sys.modules:
+            import pytest
+            pytest.skip("reference package unavailable")
+        raise

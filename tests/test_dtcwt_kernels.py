@@ -16,7 +16,10 @@ from pytorch_wavelets_tpu.ops.dtcwt_fb import (
 )
 from tests.reference_oracle import load_reference
 
-torch, _pw = load_reference()
+try:
+    torch, _pw = load_reference()
+except Exception:  # reference checkout absent (e.g. hosted CI)
+    pytest.skip("reference package unavailable", allow_module_level=True)
 from pytorch_wavelets.dtcwt import lowlevel as ref_ll  # noqa: E402
 
 

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 import pytorch_wavelets_tpu as tw
 from tests.reference_oracle import load_reference
 
-torch, pw = load_reference()
+try:
+    torch, pw = load_reference()
+except Exception:  # reference checkout absent (e.g. hosted CI)
+    pytest.skip("reference package unavailable", allow_module_level=True)
 
 WAVES = ["db1", "db2", "db3", "db4", "sym3", "bior2.2"]
 MODES = ["zero", "symmetric", "reflect", "periodization"]

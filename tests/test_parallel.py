@@ -122,3 +122,16 @@ def test_halo_dwt_odd_height(mesh):
     np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(yh[0]), np.asarray(yh2[0]),
                                atol=2e-5)
+
+
+def test_halo_idwt_odd_height_roundtrip(mesh):
+    """Odd-H sharded pyramid inverts (regression: the inverse missed the
+    crop of the replicated make-even row between levels)."""
+    x = jnp.asarray(np.random.RandomState(5).randn(4, 1, 65, 64)
+                    .astype(np.float32))
+    yl, yh = sharded_dwt2d(x, mesh, wave="db2", J=2)
+    rec = sharded_idwt2d((yl, yh), mesh, wave="db2")
+    # periodization with odd H reconstructs the evened signal; the first
+    # 65 rows equal the input (matches the single-device pyramid)
+    np.testing.assert_allclose(np.asarray(rec[:, :, :65]),
+                               np.asarray(x), atol=2e-5)
