@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("--forward", action="store_true",
                    help="forward transform only")
     p.add_argument("--grad", action="store_true",
-                   help="include backward pass (scat only)")
+                   help="include the backward pass")
     p.add_argument("-j", "--levels", type=int, default=2)
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--batch", type=int, default=10)
@@ -75,7 +75,10 @@ def main(argv=None):
     if args.dwt:
         fwd = tw.DWTForward(J=args.levels, wave=args.wave, mode=args.mode)
         inv = tw.DWTInverse(wave=args.wave, mode=args.mode)
-        if args.forward:
+        if args.grad:
+            g = jax.grad(lambda z: jnp.sum(inv(fwd(z)) ** 2))
+            run("dwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
+        elif args.forward:
             run("dwt_fwd", lambda z: consume(z, fwd(z)))
         else:
             run("dwt_e2e", lambda z: inv(fwd(z)))
@@ -84,7 +87,10 @@ def main(argv=None):
                               qshift=args.qshift, mode=args.mode)
         inv = tw.DTCWTInverse(biort=args.biort, qshift=args.qshift,
                               mode=args.mode)
-        if args.forward:
+        if args.grad:
+            g = jax.grad(lambda z: jnp.sum(inv(fwd(z)) ** 2))
+            run("dtcwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
+        elif args.forward:
             run("dtcwt_fwd", lambda z: consume(z, fwd(z)))
         else:
             run("dtcwt_e2e", lambda z: inv(fwd(z)))
