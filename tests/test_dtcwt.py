@@ -185,3 +185,27 @@ def test_deep_pyramid_parity():
         rec_r = pw.DTCWTInverse()((yl_r, yh_r))
         np.testing.assert_allclose(np.asarray(rec), rec_r.detach().numpy(),
                                    atol=2e-4)
+
+
+def test_qshift32_parity():
+    """The longest q-shift bank (32 taps) matches the reference e2e."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.reference_oracle import load_reference
+    import pytorch_wavelets_tpu as tw
+
+    torch, pw = load_reference()
+    x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+    fo = tw.DTCWTForward(J=3, qshift="qshift_32")
+    fr = pw.DTCWTForward(J=3, qshift="qshift_32")
+    yl, yh = fo(jnp.asarray(x))
+    yl_r, yh_r = fr(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(yl), yl_r.detach().numpy(),
+                               atol=2e-4)
+    for a, b in zip(yh, yh_r):
+        np.testing.assert_allclose(np.asarray(a), b.detach().numpy(),
+                                   atol=2e-4)
+    rec = tw.DTCWTInverse(qshift="qshift_32")((yl, yh))
+    rec_r = pw.DTCWTInverse(qshift="qshift_32")((yl_r, yh_r))
+    np.testing.assert_allclose(np.asarray(rec), rec_r.detach().numpy(),
+                               atol=2e-4)

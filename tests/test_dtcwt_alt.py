@@ -99,3 +99,17 @@ def test_quad_afb2d_vs_reference():
     yl2, yh2 = quad_afb2d_nonsep(jnp.asarray(x), h0a, h1a, h0b, h1b)
     yl1, yh1 = quad_afb2d(jnp.asarray(x), h0a, h1a, h0b, h1b)
     np.testing.assert_allclose(np.asarray(yl2), np.asarray(yl1))
+
+
+def test_cplxdual_farras_roundtrip():
+    """farras level-1 bank (4-DWT formulation) reconstructs exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pytorch_wavelets_tpu.transforms.dtcwt_alt import (cplxdual2d,
+                                                           icplxdual2d)
+
+    x = np.random.RandomState(0).randn(1, 2, 64, 64).astype(np.float32)
+    yl, yh = cplxdual2d(jnp.asarray(x), J=2, level1="farras",
+                        qshift="qshift_a")
+    rec = icplxdual2d(yl, yh, level1="farras", qshift="qshift_a")
+    np.testing.assert_allclose(np.asarray(rec), x, atol=2e-5)
