@@ -260,12 +260,18 @@ def _sfb1d_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis):
              _conv_axis(hi, k1, axis, lhs_dilation=2, padding=pad))
         y = y[:, :, 0]
         Nout = 2 * Nin
-        head = lax.slice_in_dim(y, 0, L - 2, axis=axis) if L > 2 else None
-        if head is not None:
-            tail = lax.slice_in_dim(y, Nout, Nout + L - 2, axis=axis)
-            head = head + tail
-            body = lax.slice_in_dim(y, L - 2, Nout, axis=axis)
-            y = jnp.concatenate([head, body], axis=axis)
+        if L > 2:
+            # wrap-add the tail onto the first L-2 samples then crop
+            # (reference dwt/lowlevel.py:256-260); when the filter is
+            # longer than the signal (L-2 >= Nout) the cropped output
+            # comes entirely from the folded head
+            head = (lax.slice_in_dim(y, 0, L - 2, axis=axis) +
+                    lax.slice_in_dim(y, Nout, Nout + L - 2, axis=axis))
+            if L - 2 >= Nout:
+                y = lax.slice_in_dim(head, 0, Nout, axis=axis)
+            else:
+                body = lax.slice_in_dim(y, L - 2, Nout, axis=axis)
+                y = jnp.concatenate([head, body], axis=axis)
         else:
             y = lax.slice_in_dim(y, 0, Nout, axis=axis)
         return jnp.roll(y, 1 - L // 2, axis=axis)

@@ -154,3 +154,34 @@ def test_subband_masking_linearity():
     r_high = inv((jnp.zeros_like(yl), yh))
     np.testing.assert_allclose(np.asarray(r_full),
                                np.asarray(r_low + r_high), atol=1e-4)
+
+
+def test_tiny_axis_long_filter_periodization():
+    """Filter longer than twice the (evened) signal: the synthesis
+    wrap-add folds entirely into the head (regression: slice crash when
+    L-2 > 2*Nin, e.g. db4 periodization on a 7-row image)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tests.reference_oracle import load_reference
+    import pytorch_wavelets_tpu as tw
+    from pytorch_wavelets_tpu.ops import banded
+
+    torch, pw = load_reference()
+    x = np.random.RandomState(0).randn(1, 2, 7, 97).astype(np.float32)
+    for force in (True, None):
+        banded.set_operator_matmul(force)
+        try:
+            yl, yh = tw.DWTForward(J=2, wave="db4",
+                                   mode="periodization")(jnp.asarray(x))
+            rec = tw.DWTInverse(wave="db4",
+                                mode="periodization")((yl, yh))
+        finally:
+            banded.set_operator_matmul(None)
+        yl_r, yh_r = pw.DWTForward(J=2, wave="db4", mode="periodization")(
+            torch.from_numpy(x))
+        rec_r = pw.DWTInverse(wave="db4", mode="periodization")(
+            (yl_r, yh_r))
+        np.testing.assert_allclose(np.asarray(yl), yl_r.detach().numpy(),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rec), rec_r.detach().numpy(),
+                                   atol=2e-4)
