@@ -72,11 +72,18 @@ def main(argv=None):
             "mpix_per_s": round(mpix_per_s(shape, dt), 1),
         })
 
+    def coeff_loss(out):
+        """Scalar loss on the forward coefficients, so --grad times the
+        forward + its backward only (comparable to the reference's
+        fwd+bwd baselines), not the inverse transform too."""
+        return sum(jnp.sum(v ** 2) for v in jax.tree.leaves(out)
+                   if v is not None)
+
     if args.dwt:
         fwd = tw.DWTForward(J=args.levels, wave=args.wave, mode=args.mode)
         inv = tw.DWTInverse(wave=args.wave, mode=args.mode)
         if args.grad:
-            g = jax.grad(lambda z: jnp.sum(inv(fwd(z)) ** 2))
+            g = jax.grad(lambda z: coeff_loss(fwd(z)))
             run("dwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
         elif args.forward:
             run("dwt_fwd", lambda z: consume(z, fwd(z)))
@@ -88,7 +95,7 @@ def main(argv=None):
         inv = tw.DTCWTInverse(biort=args.biort, qshift=args.qshift,
                               mode=args.mode)
         if args.grad:
-            g = jax.grad(lambda z: jnp.sum(inv(fwd(z)) ** 2))
+            g = jax.grad(lambda z: coeff_loss(fwd(z)))
             run("dtcwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
         elif args.forward:
             run("dtcwt_fwd", lambda z: consume(z, fwd(z)))

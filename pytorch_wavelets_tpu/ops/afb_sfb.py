@@ -185,11 +185,12 @@ def _afb1d_atrous_corr(x, h0_taps, h1_taps, mode, axis, dilation):
 
 
 @lru_cache(maxsize=None)
-def _afb_atrous_matrix(h0, h1, mode, dilation, n):
+def _afb_atrous_matrix(h0, h1, mode, dilation, n, dtype_str="f4"):
     from pytorch_wavelets_tpu.ops import banded
     return banded.probe_op(
         lambda I: _afb1d_atrous_corr_conv(I, np.asarray(h0), np.asarray(h1),
-                                          mode, 2, dilation), n)
+                                          mode, 2, dilation), n,
+        dtype=np.dtype(dtype_str).type)
 
 
 def _afb1d_atrous_corr_conv(x, h0_taps, h1_taps, mode, axis, dilation):

@@ -68,15 +68,16 @@ def _cpu_device():
     return jax.devices("cpu")[0]
 
 
-def probe_op(fn, n: int) -> np.ndarray:
+def probe_op(fn, n: int, dtype=np.float32) -> np.ndarray:
     """Extract the operator matrix of a linear column-op.
 
     fn maps (1, 1, n, n) -> (1, 1, ..., m, n) acting along axis -2,
     uniformly over the last axis.  Feeding the identity as the image makes
     column j of the output the response to basis vector e_j.  Runs eagerly
-    on host CPU even inside a jit trace.
+    on host CPU even inside a jit trace.  ``dtype=np.float64`` probes in
+    double precision (honoured only when jax_enable_x64 is on).
     """
-    eye = np.eye(n, dtype=np.float32)[None, None]
+    eye = np.eye(n, dtype=dtype)[None, None]
     with jax.ensure_compile_time_eval():
         with jax.default_device(_cpu_device()):
             out = np.asarray(fn(jnp.asarray(eye)))

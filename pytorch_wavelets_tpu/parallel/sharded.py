@@ -1,18 +1,24 @@
 """Sharded multilevel transforms.
 
-Two complementary strategies (SURVEY.md §2.9):
+Three complementary strategies (SURVEY.md §2.9):
 
-* **Explicit shard_map path** (`sharded_dwt2d` / `sharded_idwt2d`,
-  periodization mode): the image W axis is tiled over the 'spatial' mesh
-  axis and each level exchanges exactly the filter-support halo columns via
-  ring ppermute, then runs the local dense conv.  This is the
-  hand-scheduled, production path — communication is L-1 columns per level
-  over ICI, nothing else.
+* **Sharded operator-matmul path** (the TPU production path): when the
+  banded matmul fast path is enabled, every W-axis operator — including
+  the whole composed DTCWT pyramid — is split into per-shard row chunks
+  applied to a halo'd local tile (parallel/banded_shard.py).
+  Communication is one ring ppermute of the operator's band overhang per
+  stage-1 apply; stage-2 (H-axis) operators run locally on the MXU.
 
-* **GSPMD path** (`sharded_dtcwt2d`, `sharded_scat_j2`, and any other mode):
-  jit with NamedSharding constraints; XLA's SPMD partitioner inserts the
-  halo exchanges automatically.  Because the kernels are gather-free
-  (pad = slice+concat), the partitioner produces clean collective-permutes.
+* **Explicit shard_map conv path** (`sharded_dwt2d` / `sharded_idwt2d`,
+  periodization mode, CPU fallback): the image W axis is tiled over the
+  'spatial' mesh axis and each level exchanges exactly the filter-support
+  halo columns via ring ppermute, then runs the local dense conv.
+
+* **GSPMD path** (fallback for `sharded_dtcwt2d` / `sharded_scat_j2` off
+  the matmul path): jit with NamedSharding constraints; XLA's SPMD
+  partitioner inserts the halo exchanges automatically.  Because the
+  kernels are gather-free (pad = slice+concat), the partitioner produces
+  clean collective-permutes.
 """
 from __future__ import annotations
 
@@ -26,6 +32,9 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pytorch_wavelets_tpu.ops.afb_sfb import _conv_axis
+from pytorch_wavelets_tpu.parallel.banded_shard import (
+    apply_sharded_op, build_sharded_op,
+)
 from pytorch_wavelets_tpu.parallel.halo import halo_exchange_1d
 from pytorch_wavelets_tpu.transforms.dwt import dec_filters, rec_filters
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
@@ -33,6 +42,51 @@ from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
 
 __all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_swt2d",
            "sharded_iswt2d", "sharded_dtcwt2d", "sharded_scat_j2"]
+
+
+# --------------------------------------------------------------------------
+# Sharded operator-matmul building blocks (W axis)
+# --------------------------------------------------------------------------
+
+def _mm_enabled(n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.matmul_enabled(n)
+
+
+def _afb1d_per_sharded_mm(x, op, axis_name):
+    """W-axis periodization analysis split as a sharded operator matmul.
+    Returns (N, C, 2, H, M_local) like the conv twin."""
+    y = apply_sharded_op([x], op, 3, axis_name)        # (N, C, H, 2*Mloc)
+    y = y.reshape(*y.shape[:3], 2, -1)
+    return jnp.moveaxis(y, 3, 2)
+
+
+def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
+    """Per-level ShardedOps for the W-axis periodization analysis."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
+    rh0, rh1 = taps_row
+    ops = []
+    w = W
+    for _ in range(J):
+        T = _afb_matrix(rh0, rh1, "periodization", w)
+        M = T.shape[0] // 2
+        ops.append(build_sharded_op(T, n_sp, [M, M], [w], wrap=True))
+        w = M
+    return ops
+
+
+def _dwt_row_synthesis_plans(taps_row, J, W, n_sp):
+    """Fine-first per-level ShardedOps for the W-axis periodization
+    synthesis merge (inputs [lo | hi])."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
+    g0, g1 = taps_row
+    ops = []
+    for j in range(J):
+        n = W // 2 ** (j + 1)
+        T = _sfb_matrix(g0, g1, "periodization", n)     # (2n, 2n)
+        ops.append(build_sharded_op(T, n_sp, [T.shape[0]], [n, n],
+                                    wrap=True))
+    return ops
 
 
 # --------------------------------------------------------------------------
@@ -106,8 +160,12 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
     """J-level periodization-mode 2-D DWT with N sharded over 'data' and W
     sharded over 'spatial'; per-level ring halo exchange along W.
 
-    Returns the same (yl, yh) pyramid as transforms.dwt.dwt2d.  Requires
-    W / n_spatial divisible by 2**J."""
+    On the matmul fast path the W-axis analysis runs as sharded banded
+    operator chunks (parallel/banded_shard.py) and the H axis as local MXU
+    operator matmuls; off it, as halo'd local convs.  Returns the same
+    (yl, yh) pyramid as transforms.dwt.dwt2d.  Requires W / n_spatial
+    divisible by 2**J."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb1d_corr
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
@@ -116,14 +174,36 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
         raise ValueError("W must divide evenly across spatial shards for "
                          f"J={J}")
 
+    row_ops = None
+    if _mm_enabled(x.shape[-1]):
+        try:
+            row_ops = _dwt_row_analysis_plans(
+                (tuple(rh[0]), tuple(rh[1])), J, x.shape[-1], n_sp)
+        except ValueError:
+            row_ops = None   # halo exceeds tile: conv path still works
+    if row_ops is not None:
+        # pre-probe the H-axis (local) operator matrices: identity probes
+        # cannot run inside the shard_map trace
+        from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
+        hh = x.shape[2]
+        for _ in range(J):
+            _afb_matrix(tuple(rc[0]), tuple(rc[1]), "periodization", hh)
+            hh = (hh + 1) // 2
+
     def local(xl):
         yh = []
         ll = xl
-        for _ in range(J):
+        for j in range(J):
             N, C = ll.shape[:2]
-            lohi = _afb1d_per_sharded(ll, rh, 3, "spatial")
+            if row_ops is not None:
+                lohi = _afb1d_per_sharded_mm(ll, row_ops[j], "spatial")
+            else:
+                lohi = _afb1d_per_sharded(ll, rh, 3, "spatial")
             lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
-            y = _afb1d_per_local(lohi, rc, 2)
+            if row_ops is not None:
+                y = _afb1d_corr(lohi, rc[0], rc[1], "periodization", 2)
+            else:
+                y = _afb1d_per_local(lohi, rc, 2)
             y = y.reshape(N, C, 2, 2, *y.shape[3:])
             y = y.reshape(N, C, 4, *y.shape[4:])
             ll = y[:, :, 0]
@@ -143,15 +223,37 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
     g0c, g1c, g0r, g1r = rec_filters(wave)
     yl, yh = coeffs
     J = len(yh)
+    n_sp = mesh.shape["spatial"]
+    W_out = yl.shape[-1] * 2 ** J
+
+    syn_ops = None
+    if _mm_enabled(W_out):
+        try:
+            syn_ops = _dwt_row_synthesis_plans(
+                (tuple(np.asarray(g0r).ravel()),
+                 tuple(np.asarray(g1r).ravel())), J, W_out, n_sp)
+        except ValueError:
+            syn_ops = None
+    if syn_ops is not None:
+        # pre-probe the H-axis merge matrices (cannot probe in-trace)
+        from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
+        g0ct = tuple(np.asarray(g0c).ravel())
+        g1ct = tuple(np.asarray(g1c).ravel())
+        for h in yh:
+            _sfb_matrix(g0ct, g1ct, "periodization", h.shape[-2])
 
     def local(ll, highs):
-        for h in highs[::-1]:
+        for j, h in enumerate(highs[::-1]):
             # odd-H pyramids: the synthesized lowpass is one replicated
             # row longer than the next level's bands — crop to match
             ll = ll[:, :, :h.shape[-2]]
             lo = _sfb1d_per_local(ll, h[:, :, 0], g0c, g1c, 2)
             hi = _sfb1d_per_local(h[:, :, 1], h[:, :, 2], g0c, g1c, 2)
-            ll = _sfb1d_per_sharded(lo, hi, g0r, g1r, 3, "spatial")
+            if syn_ops is not None:
+                ll = apply_sharded_op([lo, hi], syn_ops[J - 1 - j], 3,
+                                      "spatial")
+            else:
+                ll = _sfb1d_per_sharded(lo, hi, g0r, g1r, 3, "spatial")
         return ll
 
     spec_l = P("data", None, None, "spatial")
@@ -162,12 +264,151 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
 
 
 # --------------------------------------------------------------------------
-# GSPMD-partitioned paths (any transform / mode)
+# Composed-pyramid sharded matmul paths (DTCWT / scatternet)
+# --------------------------------------------------------------------------
+
+def _pyramid_shard_op(plan, W, n_sp):
+    """Build the ShardedOp of a composed pyramid's stage-1 row operator
+    (every block tiled over the spatial axis); None when the layout does
+    not divide or the halo exceeds a tile."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _cat, _pyramid_layout
+    blocks, _ = _pyramid_layout(plan)
+    try:
+        return build_sharded_op(_cat(*blocks), n_sp,
+                                [b.shape[0] for b in blocks], [W],
+                                wrap=False)
+    except ValueError:
+        return None
+
+
+def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
+    """Composed whole-pyramid DTCWT forward under spatial sharding: one
+    sharded stage-1 apply (halo ppermute + per-shard operator chunk), then
+    local stage-2 column ops.  None signals fallback to GSPMD."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _analysis_pyramid_impl
+    from pytorch_wavelets_tpu.transforms.dtcwt import (
+        _fwd_pyramid_plan, get_dimensions5,
+    )
+    H, W = x.shape[2], x.shape[3]
+    if H % 2 or W % 2 or J == 0:
+        return None
+    if not (_mm_enabled(H) and _mm_enabled(W)):
+        return None
+    n_sp = mesh.shape["spatial"]
+    if W % n_sp:
+        return None
+    plan = _fwd_pyramid_plan(
+        filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
+        filters["h0b"], filters["h1b"], J, (False,) * J, (False,) * J,
+        mode, H, W)
+    if plan is None:
+        return None
+    op = _pyramid_shard_op(plan, W, n_sp)
+    if op is None:
+        return None
+    od, rd, _, _ = get_dimensions5(2, -1)
+
+    def local(xl):
+        z = apply_sharded_op([xl], op, 3, "spatial")
+        lls, highs = _analysis_pyramid_impl(None, plan, od, z=z,
+                                            kdiv=n_sp)
+        yh = [jnp.stack(h, axis=rd) for h in highs]
+        return lls[-1], yh
+
+    spec_in = P("data", None, None, "spatial")
+    spec_out = (P("data", None, None, "spatial"),
+                [P("data", None, None, None, "spatial", None)] * J)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                   out_specs=spec_out)
+    return fn(x)
+
+
+def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
+                            combine_colour=False):
+    """Second-order scatternet under spatial sharding on the composed
+    matmul path: two sharded pyramid applies (orders 1+2 fused, then the
+    second order over the first-order magnitudes) with all magnitudes,
+    reshapes and pooling local.  None signals fallback to GSPMD."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _analysis_pyramid_impl
+    from pytorch_wavelets_tpu.transforms.scatternet import (
+        _combined_mag, _scat_front_plan, smooth_mag,
+    )
+    H, W = x.shape[2], x.shape[3]
+    if H % 8 or W % 8:
+        return None           # keep the reference %8 pad path on GSPMD
+    if not (_mm_enabled(H) and _mm_enabled(W)):
+        return None
+    n_sp = mesh.shape["spatial"]
+    if W % n_sp:
+        return None
+    args = (filters["h0o"], filters["h1o"],
+            filters.get("h0a", filters["h0o"]),
+            filters.get("h1a", filters["h1o"]),
+            filters.get("h0b", filters["h0o"]),
+            filters.get("h1b", filters["h1o"]))
+    plan2 = _scat_front_plan(*args, 2, mode, H, W)
+    plan1 = _scat_front_plan(*args, 1, mode, H // 2, W // 2)
+    if plan2 is None or plan1 is None:
+        return None
+    op2 = _pyramid_shard_op(plan2, W, n_sp)
+    op1 = _pyramid_shard_op(plan1, W // 2, n_sp)
+    if op2 is None or op1 is None:
+        return None
+
+    def local(xl):
+        z = apply_sharded_op([xl], op2, 3, "spatial")
+        lls, highs = _analysis_pyramid_impl(None, plan2, 1, z=z, kdiv=n_sp)
+        s0 = lls[-1]
+        (r1, i1), (r2, i2) = highs
+
+        def second_order(u1):
+            z1 = apply_sharded_op([u1], op1, 3, "spatial")
+            (u1_ll, *_), ((r3, i3),) = _analysis_pyramid_impl(
+                None, plan1, 1, z=z1, kdiv=n_sp)
+            return u1_ll, r3, i3
+
+        if combine_colour:
+            s1_j1 = _combined_mag(r1, i1, magbias)
+            s1_j2 = _combined_mag(r2, i2, magbias)
+            u1_ll, r3, i3 = second_order(s1_j1[:, :, 0])
+            s2_j1 = smooth_mag(r3, i3, magbias)
+            q = s2_j1.shape
+            s2_j1 = s2_j1.reshape(q[0], 36, q[3], q[4])
+            return jnp.concatenate([s0, u1_ll, s1_j2[:, :, 0], s2_j1],
+                                   axis=1)
+
+        s1_j1 = smooth_mag(r1, i1, magbias)
+        s1_j2 = smooth_mag(r2, i2, magbias)
+        p = s1_j1.shape
+        u1_ll, r3, i3 = second_order(
+            s1_j1.reshape(p[0], 6 * p[2], p[3], p[4]))
+        s2_j1 = smooth_mag(r3, i3, magbias)
+        q = s2_j1.shape
+        s2_j1 = s2_j1.reshape(q[0], 36, q[2] // 6, q[3], q[4])
+        s1_j1 = u1_ll.reshape(p[0], 6, p[2], p[3] // 2, p[4] // 2)
+        Z = jnp.concatenate([s0[:, None], s1_j1, s1_j2, s2_j1], axis=1)
+        b, _, c, hh, ww = Z.shape
+        return Z.reshape(b, 49 * c, hh, ww)
+
+    spec = P("data", None, None, "spatial")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(x)
+
+
+# --------------------------------------------------------------------------
+# GSPMD-partitioned paths (fallback: any transform / mode)
 # --------------------------------------------------------------------------
 
 def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
-    """DTCWT forward with batch sharded over 'data' and W over 'spatial';
-    XLA's SPMD partitioner inserts the halo exchanges."""
+    """DTCWT forward with batch sharded over 'data' and W over 'spatial'.
+
+    On the matmul fast path this runs the composed pyramid as explicit
+    halo'd per-shard operator chunks (no full-axis all-gather — pinned by
+    tests/test_parallel.py HLO assertions); otherwise XLA's SPMD
+    partitioner inserts the halo exchanges for the conv path."""
+    out = _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode)
+    if out is not None:
+        return out
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None,
                                                  "spatial")))
 
@@ -179,14 +420,21 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
     return run(xs)
 
 
-def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2):
-    """Second-order scatternet, batch-DP over 'data', W over 'spatial'."""
+def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
+                    combine_colour=False):
+    """Second-order scatternet, batch-DP over 'data', W over 'spatial'
+    (sharded composed matmuls on the fast path, GSPMD otherwise)."""
+    out = _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
+                                  combine_colour)
+    if out is not None:
+        return out
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None,
                                                  "spatial")))
 
     @jax.jit
     def run(z):
-        return scat_layer_j2(z, filters, mode=mode, magbias=magbias)
+        return scat_layer_j2(z, filters, mode=mode, magbias=magbias,
+                             combine_colour=combine_colour)
 
     return run(xs)
 
@@ -241,11 +489,34 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
     'spatial', with per-level dilated ring halo exchange along W.
 
     Returns the same list of (N, C, 4, H, W) coefficient arrays as
-    transforms.dwt.swt2d (periodization mode).  Per-level communication is
-    the dilated filter support: (L-1)*2^j columns."""
+    transforms.dwt.swt2d in 'periodic' mode (plain circular wrap — the pad
+    and the halos are periodic, cf. _afb1d_atrous_local).  Per-level
+    communication is the dilated filter support: (L-1)*2^j columns."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import (
+        _afb_atrous_matrix, _afb1d_atrous_corr,
+    )
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
+    n_sp = mesh.shape["spatial"]
+    W = x.shape[-1]
+
+    row_ops = None
+    if _mm_enabled(W):
+        try:
+            row_ops = []
+            for j in range(J):
+                T = _afb_atrous_matrix(tuple(rh[0]), tuple(rh[1]),
+                                       "periodic", 2 ** j, W)
+                row_ops.append(build_sharded_op(T, n_sp, [W, W], [W],
+                                                wrap=True))
+        except ValueError:
+            row_ops = None
+    if row_ops is not None:
+        # pre-probe the H-axis matrices (cannot probe in-trace)
+        for j in range(J):
+            _afb_atrous_matrix(tuple(rc[0]), tuple(rc[1]), "periodic",
+                               2 ** j, x.shape[2])
 
     def local(xl):
         out = []
@@ -253,9 +524,14 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
         for j in range(J):
             d = 2 ** j
             N, C = ll.shape[:2]
-            lohi = _afb1d_atrous_sharded(ll, rh, 3, "spatial", d)
-            lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
-            y = _afb1d_atrous_local(lohi, rc, 2, d)
+            if row_ops is not None:
+                lohi = _afb1d_per_sharded_mm(ll, row_ops[j], "spatial")
+                lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
+                y = _afb1d_atrous_corr(lohi, rc[0], rc[1], "periodic", 2, d)
+            else:
+                lohi = _afb1d_atrous_sharded(ll, rh, 3, "spatial", d)
+                lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
+                y = _afb1d_atrous_local(lohi, rc, 2, d)
             y = y.reshape(N, C, 2, 2, *y.shape[3:])
             y = y.reshape(N, C, 4, *y.shape[4:])
             ll = y[:, :, 0]
@@ -271,8 +547,33 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
 
 def sharded_iswt2d(coeffs, mesh, wave="db2"):
     """Inverse of :func:`sharded_swt2d`."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import (
+        _sfb_atrous_matrix, _sfb1d_atrous_conv,
+    )
     g0c, g1c, g0r, g1r = rec_filters(wave)
     J = len(coeffs)
+    n_sp = mesh.shape["spatial"]
+    W = coeffs[0].shape[-1]
+
+    syn_ops = None
+    if _mm_enabled(2 * W):
+        try:
+            syn_ops = []
+            for j in range(J):
+                T = _sfb_atrous_matrix(
+                    tuple(np.asarray(g0r).ravel()),
+                    tuple(np.asarray(g1r).ravel()), "periodic", 2 ** j, W)
+                syn_ops.append(build_sharded_op(T, n_sp, [W], [W, W],
+                                                wrap=True))
+        except ValueError:
+            syn_ops = None
+    if syn_ops is not None:
+        # pre-probe the H-axis matrices (cannot probe in-trace)
+        g0ct = tuple(np.asarray(g0c).ravel())
+        g1ct = tuple(np.asarray(g1c).ravel())
+        for j in range(J):
+            _sfb_atrous_matrix(g0ct, g1ct, "periodic", 2 ** j,
+                               coeffs[0].shape[-2])
 
     def local(cs):
         ll = cs[-1][:, :, 0]
@@ -280,9 +581,17 @@ def sharded_iswt2d(coeffs, mesh, wave="db2"):
             d = 2 ** j
             c = cs[j]
             lh, hl, hh = c[:, :, 1], c[:, :, 2], c[:, :, 3]
-            lo = _sfb1d_atrous_local(ll, lh, g0c, g1c, 2, d)
-            hi = _sfb1d_atrous_local(hl, hh, g0c, g1c, 2, d)
-            ll = _sfb1d_atrous_sharded(lo, hi, g0r, g1r, 3, "spatial", d)
+            if syn_ops is not None:
+                g0ct = np.asarray(g0c).ravel()
+                g1ct = np.asarray(g1c).ravel()
+                lo = _sfb1d_atrous_conv(ll, lh, g0ct, g1ct, "periodic", 2, d)
+                hi = _sfb1d_atrous_conv(hl, hh, g0ct, g1ct, "periodic", 2, d)
+                ll = apply_sharded_op([lo, hi], syn_ops[j], 3, "spatial")
+            else:
+                lo = _sfb1d_atrous_local(ll, lh, g0c, g1c, 2, d)
+                hi = _sfb1d_atrous_local(hl, hh, g0c, g1c, 2, d)
+                ll = _sfb1d_atrous_sharded(lo, hi, g0r, g1r, 3, "spatial",
+                                           d)
         return ll
 
     spec = [P("data", None, None, None, "spatial")] * J

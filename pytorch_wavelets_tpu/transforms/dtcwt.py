@@ -637,6 +637,49 @@ def inv_j2plus_op(lows, highs, g0a, g1a, g0b, g1b, o_dim, ri_dim, mode):
 # (the reference's "inverse with reversed filters" backward IS the adjoint).
 # --------------------------------------------------------------------------
 
+def _plan_bytes(plan):
+    """Total numpy bytes held by a (nested) plan structure."""
+    total = 0
+    stack = [plan]
+    while stack:
+        p = stack.pop()
+        if isinstance(p, np.ndarray):
+            total += p.nbytes
+        elif isinstance(p, dict):
+            stack.extend(p.values())
+        elif isinstance(p, (list, tuple)):
+            stack.extend(p)
+    return total
+
+
+_PLAN_CACHE_BUDGET = 4 << 30   # bytes of composed operator matrices kept
+
+
+def _budgeted_plan_cache(fn):
+    """LRU cache bounded by total held bytes, not entry count: composed
+    plans near MAX_MATMUL_N hold hundreds of MB of operator matrices each,
+    so a count-bounded cache could pin tens of GB of host RAM."""
+    from collections import OrderedDict
+    cache: "OrderedDict" = OrderedDict()
+    sizes: dict = {}
+
+    def wrapper(*args):
+        if args in cache:
+            cache.move_to_end(args)
+            return cache[args]
+        out = fn(*args)
+        cache[args] = out
+        sizes[args] = _plan_bytes(out) + 1
+        while sum(sizes.values()) > _PLAN_CACHE_BUDGET and len(cache) > 1:
+            old, _ = cache.popitem(last=False)
+            del sizes[old]
+        return out
+
+    wrapper.cache_clear = lambda: (cache.clear(), sizes.clear())
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
 def _pad4_matrix(n):
     """Replicate-pad-to-%4 selection matrix (reference
     dtcwt/transform2d.py:131-135), or None when no pad is needed."""
@@ -653,7 +696,7 @@ def _compose(A, chain):
     return A if chain is None else np.ascontiguousarray(A @ chain)
 
 
-@lru_cache(maxsize=64)   # entries hold O(n^2) composed operator matrices
+@_budgeted_plan_cache   # entries hold O(n^2) composed operator matrices
 def _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs, mode,
                       H, W):
     """Composed forward plan: per-level specs for analysis_pyramid, all
@@ -722,7 +765,7 @@ def dtcwt2d_pyramid(x, filters, J, skip_hps, include_scale, o_dim, ri_dim,
     return lls[-1], yh
 
 
-@lru_cache(maxsize=64)   # entries hold O(n^2) composed operator matrices
+@_budgeted_plan_cache   # entries hold O(n^2) composed operator matrices
 def _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw, highs_hw):
     """Composed inverse plan from coefficient shapes.
 

@@ -299,17 +299,19 @@ def iswt2d(coeffs, wave="db1", mode="periodization"):
 
     ``wave`` must resolve to the *analysis* filters used by swt2d.
     """
+    import jax
     from pytorch_wavelets_tpu.ops import banded
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh0c, rh1c = _tup(_rev(h0c)), _tup(_rev(h1c))
     rh0r, rh1r = _tup(_rev(h0r)), _tup(_rev(h1r))
+    x64 = bool(jax.config.jax_enable_x64)
     J = len(coeffs)
     ll = coeffs[-1][:, :, 0]
     for j in range(J - 1, -1, -1):
         y = coeffs[j]
         N, C, _, H, W = y.shape
-        Tc_inv = _iswt_pinv(rh0c, rh1c, mode, 2 ** j, H)
-        Tr_inv = _iswt_pinv(rh0r, rh1r, mode, 2 ** j, W)
+        Tc_inv = _iswt_pinv(rh0c, rh1c, mode, 2 ** j, H, x64)
+        Tr_inv = _iswt_pinv(rh0r, rh1r, mode, 2 ** j, W, x64)
         bands = jnp.concatenate([ll[:, :, None], y[:, :, 1:]], axis=2)
         # undo the column (H) pass per row-branch: [ll;lh] -> lo_r,
         # [hl;hh] -> hi_r
@@ -325,8 +327,12 @@ def iswt2d(coeffs, wave="db1", mode="periodization"):
 
 
 @lru_cache(maxsize=None)
-def _iswt_pinv(rh0, rh1, mode, dilation, n):
+def _iswt_pinv(rh0, rh1, mode, dilation, n, x64):
+    # kept in float64: apply_col/apply_row cast the operator to the input
+    # dtype, so a float64 ISWT keeps full precision (f32 inputs are
+    # unaffected).  Under x64 the analysis matrix is also probed in f64 —
+    # pinv'ing the f32-rounded probe caps round-trips at ~1e-7.
     from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
-    T = _afb_atrous_matrix(rh0, rh1, mode, dilation, n)  # (2n, n)
-    return np.linalg.pinv(np.asarray(T, dtype=np.float64)).astype(
-        np.float32)
+    T = _afb_atrous_matrix(rh0, rh1, mode, dilation, n,
+                           "f8" if x64 else "f4")  # (2n, n)
+    return np.linalg.pinv(np.asarray(T, dtype=np.float64))

@@ -8,6 +8,7 @@ reference is copied — it is executed as a black-box oracle, mirroring the
 reference's own test strategy of comparing against an independent
 implementation (reference tests/test_dwt.py:75-81).
 """
+import os
 import sys
 import types
 
@@ -50,17 +51,18 @@ def _install_shims():
 def load_reference():
     """Returns (torch, pytorch_wavelets) with shims installed.
 
-    Under pytest, an unavailable reference checkout (e.g. hosted CI)
-    skips the calling test instead of erroring."""
-    try:
-        _install_shims()
-        if _REF_PATH not in sys.path:
-            sys.path.insert(0, _REF_PATH)
-        import torch  # noqa: F401
-        import pytorch_wavelets  # noqa: F401
-        return torch, pytorch_wavelets
-    except Exception:
+    Under pytest, a *missing* reference checkout (e.g. hosted CI) skips the
+    calling test.  Any other failure — a broken shim, a torch import error
+    on a machine that does have the checkout — propagates, so a regression
+    in the oracle plumbing cannot silently turn the parity suite green."""
+    if not os.path.isdir(os.path.join(_REF_PATH, "pytorch_wavelets")):
         if "pytest" in sys.modules:
             import pytest
             pytest.skip("reference package unavailable")
-        raise
+        raise FileNotFoundError(f"reference checkout not found at {_REF_PATH}")
+    _install_shims()
+    if _REF_PATH not in sys.path:
+        sys.path.insert(0, _REF_PATH)
+    import torch  # noqa: F401
+    import pytorch_wavelets  # noqa: F401
+    return torch, pytorch_wavelets

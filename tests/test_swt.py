@@ -53,6 +53,31 @@ def test_iswt_roundtrip(wave, mode):
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["periodic", "symmetric"])
+def test_iswt_roundtrip_float64(mode):
+    """Double-precision perfect reconstruction at the reference's f64
+    convention (decimal=7, tests/test_dwt.py:8-25 there): the pseudo-inverse
+    operators must stay f64 end to end (regression: _iswt_pinv used to cast
+    to f32)."""
+    import jax
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+        restore = True
+    else:
+        restore = False
+    try:
+        x = jnp.asarray(np.random.RandomState(7).randn(1, 2, 32, 32))
+        assert x.dtype == jnp.float64
+        c = swt2d(x, "db3", J=2, mode=mode)
+        rec = iswt2d(c, "db3", mode=mode)
+        assert rec.dtype == jnp.float64
+        err = float(jnp.max(jnp.abs(rec - x)))
+        assert err <= 1e-10, f"f64 ISWT error {err:.2e} > 1e-10"
+    finally:
+        if restore:
+            jax.config.update("jax_enable_x64", False)
+
+
 def test_swt_shapes():
     x = jnp.asarray(_rand((1, 2, 32, 32)))
     ys = tw.SWTForward(J=3, wave="db2")(x)
