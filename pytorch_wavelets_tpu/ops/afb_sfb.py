@@ -462,14 +462,12 @@ def _outer_filters(h0_col, h1_col, h0_row, h1_row):
                      np.outer(h0c, h1r), np.outer(h1c, h1r)])
 
 
-def afb2d_nonsep(x, h0_col, h1_col, h0_row=None, h1_row=None, mode="zero"):
-    """1-level 2-D analysis as one conv with 4 outer-product PSFs.
-    Returns (N, C, 4, H', W')."""
-    if h0_row is None:
-        h0_row, h1_row = h0_col, h1_col
-    f = _outer_filters(h0_col, h1_col, h0_row, h1_row)[:, ::-1, ::-1]
+def _nonsep_conv(x, f, mode):
+    """Strided (2, 2) analysis conv of each (N, C) plane with a stack of
+    K mirrored 2-D PSFs ``f`` (K, Ly, Lx), with the per-mode pad calculus
+    of the separable path.  Returns (N, C, K, H', W')."""
     N, C, H, W = x.shape
-    Ly, Lx = f.shape[1:]
+    K, Ly, Lx = f.shape
     if mode in ("per", "periodization"):
         if H % 2:
             x = jnp.concatenate([x, x[:, :, -1:]], axis=2)
@@ -484,8 +482,8 @@ def afb2d_nonsep(x, h0_col, h1_col, h0_row=None, h1_row=None, mode="zero"):
         out2 = dwt_coeff_len(W, Lx, mode)
         p1 = 2 * (out1 - 1) - H + Ly
         p2 = 2 * (out2 - 1) - W + Lx
-        fb1, fb2 = ((p1 // 2, p1 - p1 // 2) if mode == "zero"
-                    else (p1 // 2, (p1 + 1) // 2)), None
+        fb1 = ((p1 // 2, p1 - p1 // 2) if mode == "zero"
+               else (p1 // 2, (p1 + 1) // 2))
         fb2 = ((p2 // 2, p2 - p2 // 2) if mode == "zero"
                else (p2 // 2, (p2 + 1) // 2))
         xp = pad1d(x, fb1[0], fb1[1], 2, mode)
@@ -493,11 +491,20 @@ def afb2d_nonsep(x, h0_col, h1_col, h0_row=None, h1_row=None, mode="zero"):
     else:
         raise ValueError(f"Unknown pad type: {mode}")
     xr = xp.reshape(N * C, 1, *xp.shape[2:])
-    w = jnp.asarray(f[:, None], dtype=x.dtype)
+    w = jnp.asarray(np.ascontiguousarray(f[:, None]), dtype=x.dtype)
     y = lax.conv_general_dilated(
         xr, w, window_strides=(2, 2), padding=((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"), precision=_prec(x))
-    return y.reshape(N, C, 4, *y.shape[2:])
+    return y.reshape(N, C, K, *y.shape[2:])
+
+
+def afb2d_nonsep(x, h0_col, h1_col, h0_row=None, h1_row=None, mode="zero"):
+    """1-level 2-D analysis as one conv with 4 outer-product PSFs.
+    Returns (N, C, 4, H', W')."""
+    if h0_row is None:
+        h0_row, h1_row = h0_col, h1_col
+    f = _outer_filters(h0_col, h1_col, h0_row, h1_row)[:, ::-1, ::-1]
+    return _nonsep_conv(x, f, mode)
 
 
 def sfb2d_nonsep(coeffs, g0_col, g1_col, g0_row=None, g1_row=None,

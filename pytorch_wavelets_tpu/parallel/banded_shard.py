@@ -48,12 +48,21 @@ class ShardedOp(NamedTuple):
     col_tiles: per column block, the local tile width (for bookkeeping).
     wrap: whether halos wrap at the global boundary (ring) or are zero
         outside (boundary behaviour folded into the matrix).
+    band_plan: block-banded evaluation plan for the LOCAL chunk —
+        [(r0, r1, [(c0, c1), ...])] output-row chunks with the
+        128-aligned column segments covering the union of all shards'
+        nonzeros (same geometry for every shard, so one plan serves the
+        axis_index-selected matrix) — or None for a dense local dot.
+        Without this, large-image sharded applies would pay the dense
+        O(tile) FLOPs per output the single-device path already avoids
+        (ops/banded.py block-banding).
     """
     halo_left: int
     halo_right: int
     blocks: np.ndarray
     col_tiles: tuple
     wrap: bool
+    band_plan: object = None
 
 
 def _chunks(sizes: Sequence[int], n: int):
@@ -160,8 +169,16 @@ def build_sharded_op(T, n: int, row_blocks: Sequence[int],
                   c_out:c_out + w + hl + hr] = sub
                 c_out += w + hl + hr
             r_out += rloc
+
+    # block-banded local plan: the union of all shards' nonzeros has the
+    # same banded geometry on every shard (boundary folding only removes
+    # mass), so one chunked plan serves the runtime-selected matrix —
+    # reuses the single-device planner over the union support
+    from pytorch_wavelets_tpu.ops.banded import _band_plan
+    union = np.abs(B).max(axis=0)
+    band_plan = _band_plan(union)
     return ShardedOp(hl, hr, np.ascontiguousarray(B),
-                     tuple(s // n for _, s in cb), wrap)
+                     tuple(s // n for _, s in cb), wrap, band_plan)
 
 
 def apply_sharded_op(parts, op: ShardedOp, axis: int, axis_name: str):
@@ -179,10 +196,28 @@ def apply_sharded_op(parts, op: ShardedOp, axis: int, axis_name: str):
              for p in parts]
     x = halod[0] if len(halod) == 1 else jnp.concatenate(halod, axis=axis)
     i = lax.axis_index(axis_name)
-    Bi = lax.dynamic_index_in_dim(
-        jnp.asarray(op.blocks, dtype=x.dtype), i, axis=0, keepdims=False)
-    if axis in (2, -2):
-        return jnp.einsum("mh,nchw->ncmw", Bi, x,
+    spec = ("mh,nchw->ncmw" if axis in (2, -2) else "mw,nchw->nchm")
+    cat_axis = 2 if axis in (2, -2) else 3
+
+    def dot(Bsub, xsub):
+        Bi = lax.dynamic_index_in_dim(
+            jnp.asarray(Bsub, dtype=x.dtype), i, axis=0, keepdims=False)
+        return jnp.einsum(spec, Bi, xsub,
                           precision=get_matmul_precision())
-    return jnp.einsum("mw,nchw->nchm", Bi, x,
-                      precision=get_matmul_precision())
+
+    if op.band_plan is None:
+        return dot(op.blocks, x)
+    # block-banded: contract each 128-row output chunk only against its
+    # column-support segments (mirrors ops.banded._apply_banded)
+    outs = []
+    for r0, r1, segs in op.band_plan:
+        acc = None
+        for c0, c1 in segs:
+            xs = (x[:, :, c0:c1, :] if cat_axis == 2
+                  else x[:, :, :, c0:c1])
+            part = dot(np.ascontiguousarray(op.blocks[:, r0:r1, c0:c1]),
+                       xs)
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    return (jnp.concatenate(outs, axis=cat_axis) if len(outs) > 1
+            else outs[0])

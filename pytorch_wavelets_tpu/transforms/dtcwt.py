@@ -149,24 +149,19 @@ def get_dimensions5(o_dim, ri_dim):
 
 def get_dimensions6(o_dim, ri_dim):
     """Dims in the full 6-D bandpass tensor (reference:
-    transform_funcs.py:32-58)."""
-    o_dim = o_dim % 6
-    ri_dim = ri_dim % 6
-    if ri_dim < o_dim:
-        o_dim -= 1
-    if o_dim >= 3 and ri_dim >= 3:
-        h_dim = 2
-    elif o_dim >= 4 or ri_dim >= 4:
-        h_dim = 3
-    else:
-        h_dim = 4
-    if o_dim >= 4 and ri_dim >= 4:
-        w_dim = 3
-    elif o_dim >= 4 or ri_dim >= 4:
-        w_dim = 4
-    else:
-        w_dim = 5
-    return o_dim, ri_dim, h_dim, w_dim
+    transform_funcs.py:32-58).
+
+    Derived from the 5-D dims plus the re/im stack insertion: stacking at
+    ``ri_dim`` shifts every 5-D axis at or past it up by one.  This agrees
+    with the reference's case table on every layout its inverse supports
+    and *corrects* it on the layouts where exactly one of o_dim/ri_dim is
+    >= 4 — there the reference mislabels the H/W axes and its DTCWTInverse
+    crashes (docs/parity.md, Known divergences), while these dims make the
+    inverse work for the full 30-pair matrix."""
+    od5, rd, h5, w5 = get_dimensions5(o_dim, ri_dim)
+    h_dim = h5 + (1 if h5 >= rd else 0)
+    w_dim = w5 + (1 if w5 >= rd else 0)
+    return od5, rd, h_dim, w_dim
 
 
 def highs_to_orientations(lh, hl, hh, o_dim):

@@ -21,7 +21,8 @@ from pytorch_wavelets_tpu.transforms.dwt import (
 )
 
 __all__ = ["cplxdual2d", "icplxdual2d", "DTCWTForward2",
-           "DTCWTInverse2", "quad_afb2d", "quad_afb2d_nonsep"]
+           "DTCWTInverse2", "quad_afb2d", "quad_afb2d_nonsep",
+           "prep_filt_quad_afb2d_nonsep"]
 
 _SQRT2 = math.sqrt(2.0)
 
@@ -223,12 +224,20 @@ def quad_afb2d(x, h0a, h1a, h0b, h1b, mode="zero"):
     x = x / 2
     taps = {"a": (as_taps(h0a)[::-1], as_taps(h1a)[::-1]),
             "b": (as_taps(h0b)[::-1], as_taps(h1b)[::-1])}
-    trees = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
     ys = []
-    for col_t, row_t in trees:
+    for col_t, row_t in _QUAD_TREES:
         h0c, h1c = taps[col_t]
         h0r, h1r = taps[row_t]
         ys.append(_afb2d_corr(x, h0c, h1c, h0r, h1r, mode))
+    return _quad_epilogue(ys)
+
+
+_QUAD_TREES = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
+
+
+def _quad_epilogue(ys):
+    """Shared tail of the quad analysis: per-tree (N, C, 4, H', W') band
+    stacks -> (yl quad-interleaved, yh 6-orientation complex)."""
     # ours band order (LL, LH, HL, HH) with LH = row-lo/col-hi; the
     # reference's quad band order is (ll, col-lo.row-hi, col-hi.row-lo, hh)
     ll = [y[:, :, 0] for y in ys]
@@ -260,9 +269,34 @@ def quad_afb2d(x, h0a, h1a, h0b, h1b, mode="zero"):
     return yl, yh
 
 
+def prep_filt_quad_afb2d_nonsep(h0a, h1a, h0b, h1b):
+    """(16, Ly, Lx) mirrored outer-product PSF stack for the single-conv
+    quad analysis: 4 bands (LL, LH, HL, HH) per tree, trees ordered
+    (a,a), (a,b), (b,a), (b,b) — reference: dtcwt/lowlevel2.py:157-206
+    (its stack is band-major; ours is tree-major to match the separable
+    path's per-tree epilogue)."""
+    import numpy as np
+    from pytorch_wavelets_tpu.ops.afb_sfb import _outer_filters, as_taps
+    # _outer_filters takes pywt-order taps; the [::-1, ::-1] mirror then
+    # makes the stack correlation-ready (same convention as afb2d_nonsep)
+    taps = {"a": (as_taps(h0a), as_taps(h1a)),
+            "b": (as_taps(h0b), as_taps(h1b))}
+    stacks = []
+    for col_t, row_t in _QUAD_TREES:
+        h0c, h1c = taps[col_t]
+        h0r, h1r = taps[row_t]
+        stacks.append(_outer_filters(h0c, h1c, h0r, h1r)[:, ::-1, ::-1])
+    return np.concatenate(stacks, axis=0)
+
+
 def quad_afb2d_nonsep(x, h0a, h1a, h0b, h1b, mode="zero"):
     """Non-separable single-conv variant of :func:`quad_afb2d` (reference:
-    dtcwt/lowlevel2.py:374-441).  On TPU the separable operator-matmul
-    pipeline IS the fused form, so this shares the same implementation —
-    the reference keeps both only to compare conv strategies."""
-    return quad_afb2d(x, h0a, h1a, h0b, h1b, mode)
+    dtcwt/lowlevel2.py:374-441): all 16 tree/band filterings run as ONE
+    strided 2-D conv over outer-product PSFs, then the same butterfly +
+    quad-interleave epilogue.  Tested equal to the separable
+    :func:`quad_afb2d` (tests/test_dtcwt_alt.py)."""
+    from pytorch_wavelets_tpu.ops.afb_sfb import _nonsep_conv
+    f = prep_filt_quad_afb2d_nonsep(h0a, h1a, h0b, h1b)
+    y = _nonsep_conv(x / 2, f, mode)          # (N, C, 16, H', W')
+    ys = [y[:, :, 4 * t:4 * (t + 1)] for t in range(4)]
+    return _quad_epilogue(ys)

@@ -96,9 +96,17 @@ def test_quad_afb2d_vs_reference():
                                    atol=3e-5)
         np.testing.assert_allclose(np.asarray(yh_o), yh_r.numpy(),
                                    atol=3e-5)
-    yl2, yh2 = quad_afb2d_nonsep(jnp.asarray(x), h0a, h1a, h0b, h1b)
-    yl1, yh1 = quad_afb2d(jnp.asarray(x), h0a, h1a, h0b, h1b)
-    np.testing.assert_allclose(np.asarray(yl2), np.asarray(yl1))
+    # the single-conv (16 outer-product PSFs) variant is a distinct
+    # implementation; pin it band-for-band against the separable path
+    for mode in ("zero", "symmetric", "reflect", "periodization"):
+        yl2, yh2 = quad_afb2d_nonsep(jnp.asarray(x), h0a, h1a, h0b, h1b,
+                                     mode=mode)
+        yl1, yh1 = quad_afb2d(jnp.asarray(x), h0a, h1a, h0b, h1b,
+                              mode=mode)
+        np.testing.assert_allclose(np.asarray(yl2), np.asarray(yl1),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yh2), np.asarray(yh1),
+                                   atol=2e-5)
 
 
 def test_cplxdual_farras_roundtrip():
