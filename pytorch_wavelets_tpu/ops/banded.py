@@ -31,7 +31,7 @@ from jax import lax
 from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
 
 __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
-           "MAX_MATMUL_N"]
+           "matmul_requested", "extend_wrap_operator", "MAX_MATMUL_N"]
 
 # Above this axis length the identity-probe (an NxN host conv + an NxN
 # f32 matrix per op) becomes the cost driver and we fall back to the conv
@@ -54,13 +54,90 @@ def set_operator_matmul(enabled):
 
 
 def matmul_enabled(n: int) -> bool:
+    return matmul_requested() and n <= MAX_MATMUL_N
+
+
+def matmul_requested() -> bool:
+    """Whether the operator-matmul path is wanted at all (backend/force
+    flag), independent of axis size.  The spatially-sharded paths use
+    this with :func:`extend_wrap_operator` to go past MAX_MATMUL_N: the
+    probe cost that motivates the cap does not apply when big operators
+    are synthesized from a small verified probe."""
     if _FORCE is not None:
-        return bool(_FORCE) and n <= MAX_MATMUL_N
+        return bool(_FORCE)
     try:
         backend = jax.default_backend()
     except Exception:
         return False
-    return backend != "cpu" and n <= MAX_MATMUL_N
+    return backend != "cpu"
+
+
+def extend_wrap_operator(T_small: np.ndarray, n_big: int,
+                         row_blocks: int, col_blocks: int) -> np.ndarray:
+    """Synthesize a big wrap-mode (circulant) operator from a small probe.
+
+    Wrap-mode (periodization / periodic) filterbank operators are
+    block-circulant: within each (row block, col block) pair,
+    ``T[r] == roll(T[0], a * r)`` with ``a = cols / rows`` of the block
+    (2 for a decimating analysis, 1 for a trous, 1/2 per column for a
+    synthesis merge).  The band pattern is length <= filter support,
+    independent of the axis length — so probing at a small length and
+    translating the band to ``n_big`` gives the EXACT big operator at
+    O(support) cost instead of an O(n_big^2) identity probe.
+
+    T_small: (row_blocks * m_s, col_blocks * c_s) verified probe.
+    Circulant structure is checked exactly on the probe; a non-circulant
+    operator raises ValueError.  Returns the
+    (row_blocks * m_b, col_blocks * c_b) operator for ``n_big`` where
+    m_b / c_b scale with n_big.
+    """
+    M_s, C_s = T_small.shape
+    if M_s % row_blocks or C_s % col_blocks:
+        raise ValueError("block structure does not divide the probe")
+    m_s, c_s = M_s // row_blocks, C_s // col_blocks
+    if c_s == 0 or m_s == 0:
+        raise ValueError("empty probe block")
+    # shift structure: every `p` rows the band advances `a` columns
+    # (analysis: p=1, a=2; a trous: p=1, a=1; synthesis merge: p=2, a=1)
+    if c_s % m_s == 0:
+        p, a = 1, c_s // m_s
+    elif m_s % c_s == 0:
+        p, a = m_s // c_s, 1
+    else:
+        raise ValueError(f"unsupported block aspect {m_s}x{c_s}")
+    if (m_s * n_big) % c_s:
+        raise ValueError("n_big must scale the probe blocks integrally")
+    m_b, c_b = m_s * n_big // c_s, n_big
+    tol = np.abs(T_small).max() * 1e-12
+    out = np.zeros((row_blocks * m_b, col_blocks * c_b), T_small.dtype)
+    for rb in range(row_blocks):
+        for cb in range(col_blocks):
+            B = T_small[rb * m_s:(rb + 1) * m_s,
+                        cb * c_s:(cb + 1) * c_s]
+            for q in range(p):                # row-phase patterns
+                base = B[q]
+                nz = np.nonzero(np.abs(base) > tol)[0]
+                if nz.size == 0:
+                    continue
+                offs = np.where(nz > c_s // 2, nz - c_s, nz)
+                if offs.max() - offs.min() >= c_s - 2 * a:
+                    raise ValueError(
+                        "probe too small: band support wraps ambiguously"
+                        " — use a larger small probe")
+                # verify the circulant structure exactly on the probe
+                for r in range(q, m_s, p):
+                    if not np.array_equal(np.roll(base, a * ((r - q)
+                                                             // p)), B[r]):
+                        raise ValueError(
+                            "operator block is not circulant — wrap-mode"
+                            " extension only applies to periodic "
+                            "operators")
+                rows = np.arange(q, m_b, p)
+                shifts = a * ((rows - q) // p)
+                cols = (offs[None, :] + shifts[:, None]) % c_b
+                out[rb * m_b + rows[:, None],
+                    cb * c_b + cols] = base[nz][None, :]
+    return out
 
 
 @lru_cache(maxsize=None)

@@ -53,6 +53,63 @@ def _mm_enabled(n):
     return banded.matmul_enabled(n)
 
 
+# Above _EXT_MIN, wrap-mode operators are synthesized from a small
+# verified probe (banded.extend_wrap_operator) instead of an O(n^2)
+# identity probe — this is what lets the sharded DWT/SWT matmul path go
+# past banded.MAX_MATMUL_N.  _SHARDED_MM_CAP bounds the dense trace-time
+# transients (a 32768-wide operator is ~4 GB host RAM while building).
+_EXT_MIN = 4096
+_SHARDED_MM_CAP = 32768
+
+
+def _sharded_mm_wanted(n):
+    from pytorch_wavelets_tpu.ops import banded
+    return banded.matmul_requested() and n <= _SHARDED_MM_CAP
+
+
+def _afb_T(rh0, rh1, mode, n):
+    """Wrap-mode analysis operator [lo; hi] at any length (extension past
+    _EXT_MIN)."""
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
+    if n <= _EXT_MIN:
+        return _afb_matrix(rh0, rh1, mode, n)
+    ns = max(256, 4 * len(rh0))
+    return banded.extend_wrap_operator(_afb_matrix(rh0, rh1, mode, ns),
+                                       n, 2, 1)
+
+
+def _sfb_T(g0, g1, mode, n):
+    """Wrap-mode synthesis merge operator (2n x [lo | hi])."""
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
+    if n <= _EXT_MIN // 2:
+        return _sfb_matrix(g0, g1, mode, n)
+    ns = max(128, 4 * len(g0))
+    return banded.extend_wrap_operator(_sfb_matrix(g0, g1, mode, ns),
+                                       n, 1, 2)
+
+
+def _afb_atrous_T(rh0, rh1, mode, d, n):
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
+    ns = max(256, 4 * len(rh0) * d)
+    if n <= max(_EXT_MIN, ns):
+        return _afb_atrous_matrix(rh0, rh1, mode, d, n)
+    return banded.extend_wrap_operator(
+        _afb_atrous_matrix(rh0, rh1, mode, d, ns), n, 2, 1)
+
+
+def _sfb_atrous_T(g0, g1, mode, d, n):
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_atrous_matrix
+    ns = max(256, 4 * len(g0) * d)
+    if n <= max(_EXT_MIN, ns):
+        return _sfb_atrous_matrix(g0, g1, mode, d, n)
+    return banded.extend_wrap_operator(
+        _sfb_atrous_matrix(g0, g1, mode, d, ns), n, 1, 2)
+
+
 def _afb1d_per_sharded_mm(x, op, axis_name):
     """W-axis periodization analysis split as a sharded operator matmul.
     Returns (N, C, 2, H, M_local) like the conv twin."""
@@ -61,14 +118,23 @@ def _afb1d_per_sharded_mm(x, op, axis_name):
     return jnp.moveaxis(y, 3, 2)
 
 
+def _afb1d_col_mm(x, T):
+    """H-axis (unsharded) analysis split via a precomputed operator.
+    Returns (N, C, 2, M, W) like ops.afb_sfb._afb1d_corr."""
+    from pytorch_wavelets_tpu.ops import banded
+    if x.shape[2] % 2 == 1:
+        x = jnp.concatenate([x, x[:, :, -1:]], axis=2)
+    y = banded.apply_col(x, T)                         # (N, C, 2M, W)
+    return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
+
+
 def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
     """Per-level ShardedOps for the W-axis periodization analysis."""
-    from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
     rh0, rh1 = taps_row
     ops = []
     w = W
     for _ in range(J):
-        T = _afb_matrix(rh0, rh1, "periodization", w)
+        T = _afb_T(rh0, rh1, "periodization", w)
         M = T.shape[0] // 2
         ops.append(build_sharded_op(T, n_sp, [M, M], [w], wrap=True))
         w = M
@@ -78,12 +144,11 @@ def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
 def _dwt_row_synthesis_plans(taps_row, J, W, n_sp):
     """Fine-first per-level ShardedOps for the W-axis periodization
     synthesis merge (inputs [lo | hi])."""
-    from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
     g0, g1 = taps_row
     ops = []
     for j in range(J):
         n = W // 2 ** (j + 1)
-        T = _sfb_matrix(g0, g1, "periodization", n)     # (2n, 2n)
+        T = _sfb_T(g0, g1, "periodization", n)          # (2n, 2n)
         ops.append(build_sharded_op(T, n_sp, [T.shape[0]], [n, n],
                                     wrap=True))
     return ops
@@ -162,10 +227,11 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
 
     On the matmul fast path the W-axis analysis runs as sharded banded
     operator chunks (parallel/banded_shard.py) and the H axis as local MXU
-    operator matmuls; off it, as halo'd local convs.  Returns the same
-    (yl, yh) pyramid as transforms.dwt.dwt2d.  Requires W / n_spatial
-    divisible by 2**J."""
-    from pytorch_wavelets_tpu.ops.afb_sfb import _afb1d_corr
+    operator matmuls; off it, as halo'd local convs.  Past
+    banded.MAX_MATMUL_N the operators are synthesized from small verified
+    probes (circulant extension), so the path has no practical axis-size
+    cap below _SHARDED_MM_CAP.  Returns the same (yl, yh) pyramid as
+    transforms.dwt.dwt2d.  Requires W / n_spatial divisible by 2**J."""
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
@@ -174,21 +240,23 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
         raise ValueError("W must divide evenly across spatial shards for "
                          f"J={J}")
 
-    row_ops = None
-    if _mm_enabled(x.shape[-1]):
+    row_ops = col_Ts = None
+    if _sharded_mm_wanted(max(x.shape[-1], x.shape[-2])):
         try:
             row_ops = _dwt_row_analysis_plans(
                 (tuple(rh[0]), tuple(rh[1])), J, x.shape[-1], n_sp)
         except ValueError:
             row_ops = None   # halo exceeds tile: conv path still works
     if row_ops is not None:
-        # pre-probe the H-axis (local) operator matrices: identity probes
-        # cannot run inside the shard_map trace
-        from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
+        # H-axis operators precomputed: identity probes cannot run inside
+        # the shard_map trace, and extension covers H > MAX_MATMUL_N
+        col_Ts = []
         hh = x.shape[2]
         for _ in range(J):
-            _afb_matrix(tuple(rc[0]), tuple(rc[1]), "periodization", hh)
-            hh = (hh + 1) // 2
+            hh += hh % 2
+            col_Ts.append(_afb_T(tuple(rc[0]), tuple(rc[1]),
+                                 "periodization", hh))
+            hh //= 2
 
     def local(xl):
         yh = []
@@ -201,7 +269,7 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
                 lohi = _afb1d_per_sharded(ll, rh, 3, "spatial")
             lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
             if row_ops is not None:
-                y = _afb1d_corr(lohi, rc[0], rc[1], "periodization", 2)
+                y = _afb1d_col_mm(lohi, col_Ts[j])
             else:
                 y = _afb1d_per_local(lohi, rc, 2)
             y = y.reshape(N, C, 2, 2, *y.shape[3:])
@@ -226,8 +294,8 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
     n_sp = mesh.shape["spatial"]
     W_out = yl.shape[-1] * 2 ** J
 
-    syn_ops = None
-    if _mm_enabled(W_out):
+    syn_ops = col_Ts = None
+    if _sharded_mm_wanted(max(W_out, 2 * max(h.shape[-2] for h in yh))):
         try:
             syn_ops = _dwt_row_synthesis_plans(
                 (tuple(np.asarray(g0r).ravel()),
@@ -235,24 +303,30 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
         except ValueError:
             syn_ops = None
     if syn_ops is not None:
-        # pre-probe the H-axis merge matrices (cannot probe in-trace)
-        from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
+        # H-axis merge operators precomputed (cannot probe in-trace;
+        # extension covers H > MAX_MATMUL_N)
         g0ct = tuple(np.asarray(g0c).ravel())
         g1ct = tuple(np.asarray(g1c).ravel())
-        for h in yh:
-            _sfb_matrix(g0ct, g1ct, "periodization", h.shape[-2])
+        col_Ts = [_sfb_T(g0ct, g1ct, "periodization", h.shape[-2])
+                  for h in yh]
 
     def local(ll, highs):
+        from pytorch_wavelets_tpu.ops import banded
         for j, h in enumerate(highs[::-1]):
             # odd-H pyramids: the synthesized lowpass is one replicated
             # row longer than the next level's bands — crop to match
             ll = ll[:, :, :h.shape[-2]]
-            lo = _sfb1d_per_local(ll, h[:, :, 0], g0c, g1c, 2)
-            hi = _sfb1d_per_local(h[:, :, 1], h[:, :, 2], g0c, g1c, 2)
             if syn_ops is not None:
+                T = col_Ts[J - 1 - j]
+                lo = banded.apply_col(
+                    jnp.concatenate([ll, h[:, :, 0]], axis=2), T)
+                hi = banded.apply_col(
+                    jnp.concatenate([h[:, :, 1], h[:, :, 2]], axis=2), T)
                 ll = apply_sharded_op([lo, hi], syn_ops[J - 1 - j], 3,
                                       "spatial")
             else:
+                lo = _sfb1d_per_local(ll, h[:, :, 0], g0c, g1c, 2)
+                hi = _sfb1d_per_local(h[:, :, 1], h[:, :, 2], g0c, g1c, 2)
                 ll = _sfb1d_per_sharded(lo, hi, g0r, g1r, 3, "spatial")
         return ll
 
@@ -492,33 +566,30 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
     transforms.dwt.swt2d in 'periodic' mode (plain circular wrap — the pad
     and the halos are periodic, cf. _afb1d_atrous_local).  Per-level
     communication is the dilated filter support: (L-1)*2^j columns."""
-    from pytorch_wavelets_tpu.ops.afb_sfb import (
-        _afb_atrous_matrix, _afb1d_atrous_corr,
-    )
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
     n_sp = mesh.shape["spatial"]
     W = x.shape[-1]
 
-    row_ops = None
-    if _mm_enabled(W):
+    row_ops = col_Ts = None
+    if _sharded_mm_wanted(max(W, x.shape[2])):
         try:
             row_ops = []
             for j in range(J):
-                T = _afb_atrous_matrix(tuple(rh[0]), tuple(rh[1]),
-                                       "periodic", 2 ** j, W)
+                T = _afb_atrous_T(tuple(rh[0]), tuple(rh[1]), "periodic",
+                                  2 ** j, W)
                 row_ops.append(build_sharded_op(T, n_sp, [W, W], [W],
                                                 wrap=True))
         except ValueError:
             row_ops = None
     if row_ops is not None:
-        # pre-probe the H-axis matrices (cannot probe in-trace)
-        for j in range(J):
-            _afb_atrous_matrix(tuple(rc[0]), tuple(rc[1]), "periodic",
-                               2 ** j, x.shape[2])
+        # H-axis operators precomputed (cannot probe in-trace)
+        col_Ts = [_afb_atrous_T(tuple(rc[0]), tuple(rc[1]), "periodic",
+                                2 ** j, x.shape[2]) for j in range(J)]
 
     def local(xl):
+        from pytorch_wavelets_tpu.ops import banded
         out = []
         ll = xl
         for j in range(J):
@@ -527,7 +598,8 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
             if row_ops is not None:
                 lohi = _afb1d_per_sharded_mm(ll, row_ops[j], "spatial")
                 lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
-                y = _afb1d_atrous_corr(lohi, rc[0], rc[1], "periodic", 2, d)
+                y = banded.apply_col(lohi, col_Ts[j])
+                y = y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
             else:
                 lohi = _afb1d_atrous_sharded(ll, rh, 3, "spatial", d)
                 lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
@@ -547,20 +619,18 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
 
 def sharded_iswt2d(coeffs, mesh, wave="db2"):
     """Inverse of :func:`sharded_swt2d`."""
-    from pytorch_wavelets_tpu.ops.afb_sfb import (
-        _sfb_atrous_matrix, _sfb1d_atrous_conv,
-    )
     g0c, g1c, g0r, g1r = rec_filters(wave)
     J = len(coeffs)
     n_sp = mesh.shape["spatial"]
     W = coeffs[0].shape[-1]
+    H = coeffs[0].shape[-2]
 
-    syn_ops = None
-    if _mm_enabled(2 * W):
+    syn_ops = col_Ts = None
+    if _sharded_mm_wanted(2 * max(W, H)):
         try:
             syn_ops = []
             for j in range(J):
-                T = _sfb_atrous_matrix(
+                T = _sfb_atrous_T(
                     tuple(np.asarray(g0r).ravel()),
                     tuple(np.asarray(g1r).ravel()), "periodic", 2 ** j, W)
                 syn_ops.append(build_sharded_op(T, n_sp, [W], [W, W],
@@ -568,24 +638,25 @@ def sharded_iswt2d(coeffs, mesh, wave="db2"):
         except ValueError:
             syn_ops = None
     if syn_ops is not None:
-        # pre-probe the H-axis matrices (cannot probe in-trace)
+        # H-axis operators precomputed (cannot probe in-trace)
         g0ct = tuple(np.asarray(g0c).ravel())
         g1ct = tuple(np.asarray(g1c).ravel())
-        for j in range(J):
-            _sfb_atrous_matrix(g0ct, g1ct, "periodic", 2 ** j,
-                               coeffs[0].shape[-2])
+        col_Ts = [_sfb_atrous_T(g0ct, g1ct, "periodic", 2 ** j, H)
+                  for j in range(J)]
 
     def local(cs):
+        from pytorch_wavelets_tpu.ops import banded
         ll = cs[-1][:, :, 0]
         for j in range(J - 1, -1, -1):
             d = 2 ** j
             c = cs[j]
             lh, hl, hh = c[:, :, 1], c[:, :, 2], c[:, :, 3]
             if syn_ops is not None:
-                g0ct = np.asarray(g0c).ravel()
-                g1ct = np.asarray(g1c).ravel()
-                lo = _sfb1d_atrous_conv(ll, lh, g0ct, g1ct, "periodic", 2, d)
-                hi = _sfb1d_atrous_conv(hl, hh, g0ct, g1ct, "periodic", 2, d)
+                T = col_Ts[j]
+                lo = banded.apply_col(
+                    jnp.concatenate([ll, lh], axis=2), T)
+                hi = banded.apply_col(
+                    jnp.concatenate([hl, hh], axis=2), T)
                 ll = apply_sharded_op([lo, hi], syn_ops[j], 3, "spatial")
             else:
                 lo = _sfb1d_atrous_local(ll, lh, g0c, g1c, 2, d)

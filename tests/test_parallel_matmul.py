@@ -186,6 +186,24 @@ def test_mm_scat_grad_runs(mesh, force_matmul):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_mm_dwt_beyond_matmul_cap(mesh, force_matmul):
+    """Axes past banded.MAX_MATMUL_N run on the sharded matmul path via
+    circulant operator extension (banded.extend_wrap_operator) — the
+    tested recipe for images too wide for the single-device operator
+    probe.  Compared against the conv path, which is the dispatch for
+    such axes on one device."""
+    W = 12288
+    assert W > banded.MAX_MATMUL_N
+    x = jnp.asarray(_rand((1, 1, 8, W), seed=11))
+    yl_s, yh_s = sharded_dwt2d(x, mesh, wave="db3", J=2)
+    yl, yh = dwt2d(x, "db3", J=2, mode="periodization")
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl), atol=5e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    rec = sharded_idwt2d((yl_s, yh_s), mesh, wave="db3")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-4)
+
+
 def test_mm_dwt_fallback_when_halo_exceeds_tile(mesh, force_matmul):
     """Deep pyramids whose composed halo exceeds one tile silently fall
     back to the conv halo path and stay correct."""
