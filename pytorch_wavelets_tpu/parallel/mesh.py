@@ -15,16 +15,21 @@ __all__ = ["make_mesh", "data_sharding", "spatial_sharding",
 
 
 def make_mesh(n_data: int | None = None, n_spatial: int = 1,
-              devices=None) -> Mesh:
-    """Build a ('data', 'spatial') mesh over the available devices."""
+              n_spatial_h: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices, or a
+    ('data', 'spatial_h', 'spatial') mesh when ``n_spatial_h > 1`` (2-D
+    image tiling: H over 'spatial_h', W over 'spatial')."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if n_data is None:
-        n_data = n // n_spatial
-    if n_data * n_spatial != n:
+        n_data = n // (n_spatial * n_spatial_h)
+    if n_data * n_spatial * n_spatial_h != n:
         raise ValueError(
-            f"mesh {n_data}x{n_spatial} != {n} devices")
+            f"mesh {n_data}x{n_spatial_h}x{n_spatial} != {n} devices")
+    if n_spatial_h > 1:
+        arr = np.asarray(devices).reshape(n_data, n_spatial_h, n_spatial)
+        return Mesh(arr, axis_names=("data", "spatial_h", "spatial"))
     arr = np.asarray(devices).reshape(n_data, n_spatial)
     return Mesh(arr, axis_names=("data", "spatial"))
 

@@ -128,6 +128,84 @@ def _afb1d_col_mm(x, T):
     return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
 
 
+# --------------------------------------------------------------------------
+# Per-axis per-level strategies: 'local' (axis not sharded), 'shard'
+# (halo'd per-shard operator chunks), 'gather' (deep-level reshard: the
+# tile has shrunk below the halo, so the axis — now small — is
+# all-gathered, the level computed on the full axis, and each shard keeps
+# its own output chunk; communication is one small all_gather instead of
+# an impossible multi-hop halo).
+# --------------------------------------------------------------------------
+
+def _strategy(T, n, row_blocks, col_blocks):
+    if n == 1:
+        return ("local", T)
+    try:
+        return ("shard", build_sharded_op(T, n, row_blocks, col_blocks,
+                                          wrap=True))
+    except ValueError:
+        for s in row_blocks:
+            if s % n:
+                raise
+        return ("gather", (np.asarray(T), tuple(row_blocks)))
+
+
+def _own_row_chunks(y, row_blocks, n, axis, axis_name):
+    """From a full-axis result whose ``axis`` is the concat of
+    ``row_blocks``, keep this shard's chunk of every block."""
+    i = lax.axis_index(axis_name)
+    parts = []
+    ofs = 0
+    for s in row_blocks:
+        loc = s // n
+        parts.append(lax.dynamic_slice_in_dim(y, ofs + i * loc, loc,
+                                              axis=axis))
+        ofs += s
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=axis)
+
+
+def _apply_split(x, strat, axis, axis_name, n):
+    """Analysis split ([lo; hi] operator) along ``axis`` under a
+    strategy.  Returns the split stacked on a new dim 2:
+    axis=2 -> (N, C, 2, M', W); axis=3 -> (N, C, 2, H, M')."""
+    from pytorch_wavelets_tpu.ops import banded
+    kind, obj = strat
+    if kind == "shard":
+        y = apply_sharded_op([x], obj, axis, axis_name)
+    elif kind == "local":
+        y = (banded.apply_col(x, obj) if axis == 2
+             else banded.apply_row(x, obj))
+    else:                                   # gather reshard
+        T, row_blocks = obj
+        xg = lax.all_gather(x, axis_name, axis=axis, tiled=True)
+        y = (banded.apply_col(xg, T) if axis == 2
+             else banded.apply_row(xg, T))
+        y = _own_row_chunks(y, row_blocks, n, axis, axis_name)
+    if axis == 2:
+        return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
+    y = y.reshape(*y.shape[:3], 2, -1)
+    return jnp.moveaxis(y, 3, 2)
+
+
+def _apply_merge(lo, hi, strat, axis, axis_name, n):
+    """Synthesis merge (operator over [lo | hi]) along ``axis``."""
+    from pytorch_wavelets_tpu.ops import banded
+    kind, obj = strat
+    if kind == "shard":
+        return apply_sharded_op([lo, hi], obj, axis, axis_name)
+    if kind == "local":
+        x = jnp.concatenate([lo, hi], axis=axis)
+        return (banded.apply_col(x, obj) if axis == 2
+                else banded.apply_row(x, obj))
+    T, row_blocks = obj
+    log = lax.all_gather(lo, axis_name, axis=axis, tiled=True)
+    hig = lax.all_gather(hi, axis_name, axis=axis, tiled=True)
+    x = jnp.concatenate([log, hig], axis=axis)
+    y = (banded.apply_col(x, T) if axis == 2 else banded.apply_row(x, T))
+    return _own_row_chunks(y, row_blocks, n, axis, axis_name)
+
+
 def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
     """Per-level ShardedOps for the W-axis periodization analysis."""
     rh0, rh1 = taps_row
@@ -221,55 +299,78 @@ def _sfb1d_per_local(lo, hi, g0, g1, axis):
                        "periodization", axis)
 
 
-def sharded_dwt2d(x, mesh, wave="db4", J=3):
-    """J-level periodization-mode 2-D DWT with N sharded over 'data' and W
-    sharded over 'spatial'; per-level ring halo exchange along W.
+def _mesh_sp(mesh):
+    """(n_spatial_h, n_spatial) of a 1-D or 2-D tiling mesh."""
+    return dict(mesh.shape).get("spatial_h", 1), mesh.shape["spatial"]
 
-    On the matmul fast path the W-axis analysis runs as sharded banded
-    operator chunks (parallel/banded_shard.py) and the H axis as local MXU
-    operator matmuls; off it, as halo'd local convs.  Past
-    banded.MAX_MATMUL_N the operators are synthesized from small verified
-    probes (circulant extension), so the path has no practical axis-size
-    cap below _SHARDED_MM_CAP.  Returns the same (yl, yh) pyramid as
-    transforms.dwt.dwt2d.  Requires W / n_spatial divisible by 2**J."""
+
+def _dwt_split_strategies(taps, mode, n0, n_shards, J):
+    """Per-level strategies for one axis of the analysis pyramid (odd
+    level sizes take the periodization make-even repeat, matching the
+    runtime even-pad in the local step)."""
+    strats = []
+    n = n0
+    for _ in range(J):
+        n += n % 2
+        T = _afb_T(taps[0], taps[1], mode, n)
+        M = T.shape[0] // 2
+        strats.append(_strategy(T, n_shards, [M, M], [n]))
+        n = M
+    return strats
+
+
+def sharded_dwt2d(x, mesh, wave="db4", J=3):
+    """J-level periodization-mode 2-D DWT, N over 'data', W over
+    'spatial' and (on a 3-axis mesh from ``make_mesh(n_spatial_h=...)``)
+    H over 'spatial_h' — full 2-D image tiling.
+
+    On the matmul fast path every sharded axis runs as halo'd per-shard
+    banded operator chunks (parallel/banded_shard.py); when a deep
+    level's halo exceeds the shrunken tile the level is gather-resharded
+    instead (all_gather the now-small axis, keep the own output chunk) so
+    J is not limited by the tile grid.  Past banded.MAX_MATMUL_N the
+    operators are synthesized from small verified probes (circulant
+    extension).  Off the matmul path (CPU), the W-only conv halo path is
+    used.  Returns the same (yl, yh) pyramid as transforms.dwt.dwt2d.
+    Requires each sharded axis divisible by n_shards * 2**J."""
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
-    n_sp = mesh.shape["spatial"]
-    if x.shape[-1] % (n_sp * 2 ** J):
+    n_h, n_sp = _mesh_sp(mesh)
+    H, W = x.shape[2], x.shape[3]
+    if W % (n_sp * 2 ** J):
         raise ValueError("W must divide evenly across spatial shards for "
                          f"J={J}")
+    if n_h > 1 and H % (n_h * 2 ** J):
+        raise ValueError("H must divide evenly across spatial_h shards "
+                         f"for J={J}")
 
-    row_ops = col_Ts = None
-    if _sharded_mm_wanted(max(x.shape[-1], x.shape[-2])):
-        try:
-            row_ops = _dwt_row_analysis_plans(
-                (tuple(rh[0]), tuple(rh[1])), J, x.shape[-1], n_sp)
-        except ValueError:
-            row_ops = None   # halo exceeds tile: conv path still works
-    if row_ops is not None:
-        # H-axis operators precomputed: identity probes cannot run inside
-        # the shard_map trace, and extension covers H > MAX_MATMUL_N
-        col_Ts = []
-        hh = x.shape[2]
-        for _ in range(J):
-            hh += hh % 2
-            col_Ts.append(_afb_T(tuple(rc[0]), tuple(rc[1]),
-                                 "periodization", hh))
-            hh //= 2
+    mm = _sharded_mm_wanted(max(H, W))
+    if n_h > 1 and not mm:
+        raise ValueError("2-D (HxW) tiling requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    row_s = col_s = None
+    if mm:
+        rt = (tuple(rh[0]), tuple(rh[1]))
+        ct = (tuple(rc[0]), tuple(rc[1]))
+        row_s = _dwt_split_strategies(rt, "periodization", W, n_sp, J)
+        col_s = _dwt_split_strategies(ct, "periodization", H, n_h, J)
 
     def local(xl):
         yh = []
         ll = xl
         for j in range(J):
             N, C = ll.shape[:2]
-            if row_ops is not None:
-                lohi = _afb1d_per_sharded_mm(ll, row_ops[j], "spatial")
+            if mm:
+                lohi = _apply_split(ll, row_s[j], 3, "spatial", n_sp)
             else:
                 lohi = _afb1d_per_sharded(ll, rh, 3, "spatial")
             lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
-            if row_ops is not None:
-                y = _afb1d_col_mm(lohi, col_Ts[j])
+            if mm:
+                if n_h == 1 and lohi.shape[2] % 2:
+                    lohi = jnp.concatenate([lohi, lohi[:, :, -1:]], axis=2)
+                y = _apply_split(lohi, col_s[j], 2, "spatial_h", n_h)
             else:
                 y = _afb1d_per_local(lohi, rc, 2)
             y = y.reshape(N, C, 2, 2, *y.shape[3:])
@@ -278,60 +379,70 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
             yh.append(y[:, :, 1:])
         return ll, yh
 
-    spec_in = P("data", None, None, "spatial")
-    spec_out = (P("data", None, None, "spatial"),
-                [P("data", None, None, None, "spatial")] * J)
+    hx = "spatial_h" if n_h > 1 else None
+    spec_in = P("data", None, hx, "spatial")
+    spec_out = (P("data", None, hx, "spatial"),
+                [P("data", None, None, hx, "spatial")] * J)
     fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
                    out_specs=spec_out)
     return fn(x)
 
 
 def sharded_idwt2d(coeffs, mesh, wave="db4"):
-    """Inverse of :func:`sharded_dwt2d` (periodization mode)."""
+    """Inverse of :func:`sharded_dwt2d` (periodization mode; 1-D or 2-D
+    tiling mesh, with deep-level gather-resharding like the forward)."""
     g0c, g1c, g0r, g1r = rec_filters(wave)
     yl, yh = coeffs
     J = len(yh)
-    n_sp = mesh.shape["spatial"]
+    n_h, n_sp = _mesh_sp(mesh)
     W_out = yl.shape[-1] * 2 ** J
 
-    syn_ops = col_Ts = None
-    if _sharded_mm_wanted(max(W_out, 2 * max(h.shape[-2] for h in yh))):
-        try:
-            syn_ops = _dwt_row_synthesis_plans(
-                (tuple(np.asarray(g0r).ravel()),
-                 tuple(np.asarray(g1r).ravel())), J, W_out, n_sp)
-        except ValueError:
-            syn_ops = None
-    if syn_ops is not None:
-        # H-axis merge operators precomputed (cannot probe in-trace;
-        # extension covers H > MAX_MATMUL_N)
-        g0ct = tuple(np.asarray(g0c).ravel())
-        g1ct = tuple(np.asarray(g1c).ravel())
-        col_Ts = [_sfb_T(g0ct, g1ct, "periodization", h.shape[-2])
-                  for h in yh]
+    def merge_strategies(taps, n0, n_shards, sizes):
+        out = []
+        for n in sizes:
+            T = _sfb_T(taps[0], taps[1], "periodization", n)
+            out.append(_strategy(T, n_shards, [T.shape[0]], [n, n]))
+        return out
+
+    mm = _sharded_mm_wanted(
+        max(W_out, 2 * max(h.shape[-2] for h in yh)))
+    if n_h > 1 and not mm:
+        raise ValueError("2-D (HxW) tiling requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    row_s = col_s = None
+    if mm:
+        gr = (tuple(np.asarray(g0r).ravel()),
+              tuple(np.asarray(g1r).ravel()))
+        gc = (tuple(np.asarray(g0c).ravel()),
+              tuple(np.asarray(g1c).ravel()))
+        # fine-first sizes per level
+        row_s = merge_strategies(gr, W_out, n_sp,
+                                 [W_out // 2 ** (j + 1) for j in range(J)])
+        col_s = merge_strategies(gc, None, n_h,
+                                 [h.shape[-2] for h in yh])
 
     def local(ll, highs):
-        from pytorch_wavelets_tpu.ops import banded
         for j, h in enumerate(highs[::-1]):
+            lev = J - 1 - j
             # odd-H pyramids: the synthesized lowpass is one replicated
             # row longer than the next level's bands — crop to match
             ll = ll[:, :, :h.shape[-2]]
-            if syn_ops is not None:
-                T = col_Ts[J - 1 - j]
-                lo = banded.apply_col(
-                    jnp.concatenate([ll, h[:, :, 0]], axis=2), T)
-                hi = banded.apply_col(
-                    jnp.concatenate([h[:, :, 1], h[:, :, 2]], axis=2), T)
-                ll = apply_sharded_op([lo, hi], syn_ops[J - 1 - j], 3,
-                                      "spatial")
+            if mm:
+                lo = _apply_merge(ll, h[:, :, 0], col_s[lev], 2,
+                                  "spatial_h", n_h)
+                hi = _apply_merge(h[:, :, 1], h[:, :, 2], col_s[lev], 2,
+                                  "spatial_h", n_h)
+                ll = _apply_merge(lo, hi, row_s[lev], 3, "spatial", n_sp)
             else:
                 lo = _sfb1d_per_local(ll, h[:, :, 0], g0c, g1c, 2)
                 hi = _sfb1d_per_local(h[:, :, 1], h[:, :, 2], g0c, g1c, 2)
                 ll = _sfb1d_per_sharded(lo, hi, g0r, g1r, 3, "spatial")
         return ll
 
-    spec_l = P("data", None, None, "spatial")
-    spec_h = [P("data", None, None, None, "spatial")] * J
+    hx = "spatial_h" if n_h > 1 else None
+    spec_l = P("data", None, hx, "spatial")
+    spec_h = [P("data", None, None, hx, "spatial")] * J
     fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
                    out_specs=spec_l)
     return fn(yl, yh)
@@ -569,37 +680,35 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
-    n_sp = mesh.shape["spatial"]
-    W = x.shape[-1]
+    n_h, n_sp = _mesh_sp(mesh)
+    H, W = x.shape[2], x.shape[3]
 
-    row_ops = col_Ts = None
-    if _sharded_mm_wanted(max(W, x.shape[2])):
-        try:
-            row_ops = []
+    mm = _sharded_mm_wanted(max(W, H))
+    if n_h > 1 and not mm:
+        raise ValueError("2-D (HxW) tiling requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    row_s = col_s = None
+    if mm:
+        def atrous_strats(taps, n, n_shards):
+            out = []
             for j in range(J):
-                T = _afb_atrous_T(tuple(rh[0]), tuple(rh[1]), "periodic",
-                                  2 ** j, W)
-                row_ops.append(build_sharded_op(T, n_sp, [W, W], [W],
-                                                wrap=True))
-        except ValueError:
-            row_ops = None
-    if row_ops is not None:
-        # H-axis operators precomputed (cannot probe in-trace)
-        col_Ts = [_afb_atrous_T(tuple(rc[0]), tuple(rc[1]), "periodic",
-                                2 ** j, x.shape[2]) for j in range(J)]
+                T = _afb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
+                out.append(_strategy(T, n_shards, [n, n], [n]))
+            return out
+        row_s = atrous_strats((tuple(rh[0]), tuple(rh[1])), W, n_sp)
+        col_s = atrous_strats((tuple(rc[0]), tuple(rc[1])), H, n_h)
 
     def local(xl):
-        from pytorch_wavelets_tpu.ops import banded
         out = []
         ll = xl
         for j in range(J):
             d = 2 ** j
             N, C = ll.shape[:2]
-            if row_ops is not None:
-                lohi = _afb1d_per_sharded_mm(ll, row_ops[j], "spatial")
+            if mm:
+                lohi = _apply_split(ll, row_s[j], 3, "spatial", n_sp)
                 lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
-                y = banded.apply_col(lohi, col_Ts[j])
-                y = y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
+                y = _apply_split(lohi, col_s[j], 2, "spatial_h", n_h)
             else:
                 lohi = _afb1d_atrous_sharded(ll, rh, 3, "spatial", d)
                 lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
@@ -610,8 +719,9 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
             out.append(y)
         return out
 
-    spec_in = P("data", None, None, "spatial")
-    spec_out = [P("data", None, None, None, "spatial")] * J
+    hx = "spatial_h" if n_h > 1 else None
+    spec_in = P("data", None, hx, "spatial")
+    spec_out = [P("data", None, None, hx, "spatial")] * J
     fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
                    out_specs=spec_out)
     return fn(x)
@@ -621,43 +731,40 @@ def sharded_iswt2d(coeffs, mesh, wave="db2"):
     """Inverse of :func:`sharded_swt2d`."""
     g0c, g1c, g0r, g1r = rec_filters(wave)
     J = len(coeffs)
-    n_sp = mesh.shape["spatial"]
+    n_h, n_sp = _mesh_sp(mesh)
     W = coeffs[0].shape[-1]
     H = coeffs[0].shape[-2]
 
-    syn_ops = col_Ts = None
-    if _sharded_mm_wanted(2 * max(W, H)):
-        try:
-            syn_ops = []
+    mm = _sharded_mm_wanted(2 * max(W, H))
+    if n_h > 1 and not mm:
+        raise ValueError("2-D (HxW) tiling requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    row_s = col_s = None
+    if mm:
+        def atrous_merge_strats(taps, n, n_shards):
+            out = []
             for j in range(J):
-                T = _sfb_atrous_T(
-                    tuple(np.asarray(g0r).ravel()),
-                    tuple(np.asarray(g1r).ravel()), "periodic", 2 ** j, W)
-                syn_ops.append(build_sharded_op(T, n_sp, [W], [W, W],
-                                                wrap=True))
-        except ValueError:
-            syn_ops = None
-    if syn_ops is not None:
-        # H-axis operators precomputed (cannot probe in-trace)
-        g0ct = tuple(np.asarray(g0c).ravel())
-        g1ct = tuple(np.asarray(g1c).ravel())
-        col_Ts = [_sfb_atrous_T(g0ct, g1ct, "periodic", 2 ** j, H)
-                  for j in range(J)]
+                T = _sfb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
+                out.append(_strategy(T, n_shards, [n], [n, n]))
+            return out
+        row_s = atrous_merge_strats(
+            (tuple(np.asarray(g0r).ravel()),
+             tuple(np.asarray(g1r).ravel())), W, n_sp)
+        col_s = atrous_merge_strats(
+            (tuple(np.asarray(g0c).ravel()),
+             tuple(np.asarray(g1c).ravel())), H, n_h)
 
     def local(cs):
-        from pytorch_wavelets_tpu.ops import banded
         ll = cs[-1][:, :, 0]
         for j in range(J - 1, -1, -1):
             d = 2 ** j
             c = cs[j]
             lh, hl, hh = c[:, :, 1], c[:, :, 2], c[:, :, 3]
-            if syn_ops is not None:
-                T = col_Ts[j]
-                lo = banded.apply_col(
-                    jnp.concatenate([ll, lh], axis=2), T)
-                hi = banded.apply_col(
-                    jnp.concatenate([hl, hh], axis=2), T)
-                ll = apply_sharded_op([lo, hi], syn_ops[j], 3, "spatial")
+            if mm:
+                lo = _apply_merge(ll, lh, col_s[j], 2, "spatial_h", n_h)
+                hi = _apply_merge(hl, hh, col_s[j], 2, "spatial_h", n_h)
+                ll = _apply_merge(lo, hi, row_s[j], 3, "spatial", n_sp)
             else:
                 lo = _sfb1d_atrous_local(ll, lh, g0c, g1c, 2, d)
                 hi = _sfb1d_atrous_local(hl, hh, g0c, g1c, 2, d)
@@ -665,7 +772,8 @@ def sharded_iswt2d(coeffs, mesh, wave="db2"):
                                            d)
         return ll
 
-    spec = [P("data", None, None, None, "spatial")] * J
+    hx = "spatial_h" if n_h > 1 else None
+    spec = [P("data", None, None, hx, "spatial")] * J
     fn = shard_map(local, mesh=mesh, in_specs=(spec,),
-                   out_specs=P("data", None, None, "spatial"))
+                   out_specs=P("data", None, hx, "spatial"))
     return fn(list(coeffs))

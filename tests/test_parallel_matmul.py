@@ -186,15 +186,64 @@ def test_mm_scat_grad_runs(mesh, force_matmul):
     assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_data=2, n_spatial=2, n_spatial_h=2)
+
+
+def test_mm_dwt_2d_tiling(mesh2d, force_matmul):
+    """Full HxW image tiling: H over 'spatial_h', W over 'spatial', both
+    axes as sharded banded operator chunks (SURVEY §2.9 'decompose 2-D
+    images larger than one chip')."""
+    x = jnp.asarray(_rand((4, 3, 64, 64), seed=20))
+    yl_s, yh_s = sharded_dwt2d(x, mesh2d, wave="db4", J=2)
+    yl, yh = dwt2d(x, "db4", J=2, mode="periodization")
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl), atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    rec = sharded_idwt2d((yl_s, yh_s), mesh2d, wave="db4")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
+def test_mm_swt_2d_tiling(mesh2d, force_matmul):
+    x = jnp.asarray(_rand((4, 2, 64, 64), seed=21))
+    got = sharded_swt2d(x, mesh2d, wave="db2", J=2)
+    want = swt2d(x, "db2", J=2, mode="periodic")
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
+    rec = sharded_iswt2d(got, mesh2d, wave="db2")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-5)
+
+
+def test_mm_dwt_deep_level_gather_reshard(mesh, force_matmul):
+    """J deep enough that the level tile shrinks below the halo: the
+    level is gather-resharded (all_gather of the small axis) instead of
+    failing — J is not limited by the tile grid (SURVEY §7 hard part 3,
+    'resharding strategy once subbands get smaller than the tile
+    grid')."""
+    x = jnp.asarray(_rand((4, 1, 64, 64), seed=22))
+    yl_s, yh_s = sharded_dwt2d(x, mesh, wave="db4", J=4)
+    yl, yh = dwt2d(x, "db4", J=4, mode="periodization")
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl), atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    rec = sharded_idwt2d((yl_s, yh_s), mesh, wave="db4")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
 def test_mm_dwt_beyond_matmul_cap(mesh, force_matmul):
     """Axes past banded.MAX_MATMUL_N run on the sharded matmul path via
     circulant operator extension (banded.extend_wrap_operator) — the
     tested recipe for images too wide for the single-device operator
     probe.  Compared against the conv path, which is the dispatch for
     such axes on one device."""
+    # H=16 keeps the coarse level >= the filter support (PR holds; the
+    # reference's long-filter periodization single-fold is lossy below)
     W = 12288
     assert W > banded.MAX_MATMUL_N
-    x = jnp.asarray(_rand((1, 1, 8, W), seed=11))
+    x = jnp.asarray(_rand((4, 1, 16, W), seed=11))
     yl_s, yh_s = sharded_dwt2d(x, mesh, wave="db3", J=2)
     yl, yh = dwt2d(x, "db3", J=2, mode="periodization")
     np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl), atol=5e-5)
