@@ -137,12 +137,12 @@ def _afb1d_col_mm(x, T):
 # an impossible multi-hop halo).
 # --------------------------------------------------------------------------
 
-def _strategy(T, n, row_blocks, col_blocks):
+def _strategy(T, n, row_blocks, col_blocks, wrap=True):
     if n == 1:
         return ("local", T)
     try:
         return ("shard", build_sharded_op(T, n, row_blocks, col_blocks,
-                                          wrap=True))
+                                          wrap=wrap))
     except ValueError:
         for s in row_blocks:
             if s % n:
@@ -165,23 +165,27 @@ def _own_row_chunks(y, row_blocks, n, axis, axis_name):
                                                             axis=axis)
 
 
+def _apply_strategy(x, strat, axis, axis_name, n):
+    """One operator apply along ``axis`` under a strategy."""
+    from pytorch_wavelets_tpu.ops import banded
+    kind, obj = strat
+    if kind == "shard":
+        return apply_sharded_op([x], obj, axis, axis_name)
+    if kind == "local":
+        return (banded.apply_col(x, obj) if axis == 2
+                else banded.apply_row(x, obj))
+    T, row_blocks = obj                     # gather reshard
+    xg = lax.all_gather(x, axis_name, axis=axis, tiled=True)
+    y = (banded.apply_col(xg, T) if axis == 2
+         else banded.apply_row(xg, T))
+    return _own_row_chunks(y, row_blocks, n, axis, axis_name)
+
+
 def _apply_split(x, strat, axis, axis_name, n):
     """Analysis split ([lo; hi] operator) along ``axis`` under a
     strategy.  Returns the split stacked on a new dim 2:
     axis=2 -> (N, C, 2, M', W); axis=3 -> (N, C, 2, H, M')."""
-    from pytorch_wavelets_tpu.ops import banded
-    kind, obj = strat
-    if kind == "shard":
-        y = apply_sharded_op([x], obj, axis, axis_name)
-    elif kind == "local":
-        y = (banded.apply_col(x, obj) if axis == 2
-             else banded.apply_row(x, obj))
-    else:                                   # gather reshard
-        T, row_blocks = obj
-        xg = lax.all_gather(x, axis_name, axis=axis, tiled=True)
-        y = (banded.apply_col(xg, T) if axis == 2
-             else banded.apply_row(xg, T))
-        y = _own_row_chunks(y, row_blocks, n, axis, axis_name)
+    y = _apply_strategy(x, strat, axis, axis_name, n)
     if axis == 2:
         return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
     y = y.reshape(*y.shape[:3], 2, -1)
@@ -466,11 +470,76 @@ def _pyramid_shard_op(plan, W, n_sp):
         return None
 
 
+def _pyramid_stage2_strategies(plan, n_h):
+    """Per-entry stage-2 (H axis) strategies for a composed pyramid;
+    None when a row block does not divide over the 'spatial_h' shards."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import (
+        _cstack, _pyramid_layout,
+    )
+    _, layout = _pyramid_layout(plan)
+    out = []
+    try:
+        for entry in layout:
+            e = {"groups": [], "ll": None}
+            for members, go, gn in entry["groups"]:
+                C = np.ascontiguousarray(_cstack(members))
+                rb = []
+                for _, Cm in members:
+                    m = Cm[0::2].shape[0]
+                    rb += [m, m]
+                e["groups"].append(
+                    (members, go, gn,
+                     _strategy(C, n_h, rb, [C.shape[1]], wrap=False)))
+            if entry["ll"] is not None:
+                Cl, go, gn = entry["ll"]
+                Cl = np.ascontiguousarray(Cl)
+                e["ll"] = (go, gn, _strategy(Cl, n_h, [Cl.shape[0]],
+                                             [Cl.shape[1]], wrap=False))
+            out.append(e)
+    except ValueError:
+        return None
+    return out
+
+
+def _sharded_pyramid(xl, o_dim, op_w, s2, n_sp, n_h):
+    """Composed analysis pyramid on local tiles: sharded stage-1 over
+    'spatial' then per-group stage-2 over 'spatial_h' (local when the H
+    axis is unsharded).  Mirrors fused_dtcwt._analysis_pyramid_impl with
+    every global offset divided by the shard counts."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _q2c_epilogue
+    z = apply_sharded_op([xl], op_w, 3, "spatial")
+    lls, highs = [], []
+    for e in s2:
+        quads = {}
+        for members, go, gn, strat in e["groups"]:
+            go_l, gn_l = go // n_sp, gn // n_sp
+            k = gn_l // 2
+            y = _apply_strategy(z[..., go_l:go_l + gn_l], strat, 2,
+                                "spatial_h", n_h)
+            mofs = 0
+            for name, Cm in members:
+                m = Cm[0::2].shape[0] // n_h
+                quads[name] = (y[:, :, mofs:mofs + m, :k],
+                               y[:, :, mofs:mofs + m, k:],
+                               y[:, :, mofs + m:mofs + 2 * m, :k],
+                               y[:, :, mofs + m:mofs + 2 * m, k:])
+                mofs += 2 * m
+        highs.append(_q2c_epilogue(quads, o_dim) if quads else None)
+        if e["ll"] is not None:
+            go, gn, strat = e["ll"]
+            go_l, gn_l = go // n_sp, gn // n_sp
+            lls.append(_apply_strategy(z[..., go_l:go_l + gn_l], strat, 2,
+                                       "spatial_h", n_h))
+        else:
+            lls.append(None)
+    return lls, highs
+
+
 def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
-    """Composed whole-pyramid DTCWT forward under spatial sharding: one
-    sharded stage-1 apply (halo ppermute + per-shard operator chunk), then
-    local stage-2 column ops.  None signals fallback to GSPMD."""
-    from pytorch_wavelets_tpu.ops.fused_dtcwt import _analysis_pyramid_impl
+    """Composed whole-pyramid DTCWT forward under spatial sharding (1-D W
+    or 2-D HxW tiling): one sharded stage-1 apply (halo ppermute +
+    per-shard operator chunk), then sharded/local stage-2 column ops.
+    None signals fallback to GSPMD."""
     from pytorch_wavelets_tpu.transforms.dtcwt import (
         _fwd_pyramid_plan, get_dimensions5,
     )
@@ -479,8 +548,8 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
         return None
     if not (_mm_enabled(H) and _mm_enabled(W)):
         return None
-    n_sp = mesh.shape["spatial"]
-    if W % n_sp:
+    n_h, n_sp = _mesh_sp(mesh)
+    if W % n_sp or H % max(n_h, 1):
         return None
     plan = _fwd_pyramid_plan(
         filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
@@ -489,20 +558,20 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
     if plan is None:
         return None
     op = _pyramid_shard_op(plan, W, n_sp)
-    if op is None:
+    s2 = _pyramid_stage2_strategies(plan, n_h)
+    if op is None or s2 is None:
         return None
     od, rd, _, _ = get_dimensions5(2, -1)
 
     def local(xl):
-        z = apply_sharded_op([xl], op, 3, "spatial")
-        lls, highs = _analysis_pyramid_impl(None, plan, od, z=z,
-                                            kdiv=n_sp)
+        lls, highs = _sharded_pyramid(xl, od, op, s2, n_sp, n_h)
         yh = [jnp.stack(h, axis=rd) for h in highs]
         return lls[-1], yh
 
-    spec_in = P("data", None, None, "spatial")
-    spec_out = (P("data", None, None, "spatial"),
-                [P("data", None, None, None, "spatial", None)] * J)
+    hx = "spatial_h" if n_h > 1 else None
+    spec_in = P("data", None, hx, "spatial")
+    spec_out = (P("data", None, hx, "spatial"),
+                [P("data", None, None, hx, "spatial", None)] * J)
     fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
                    out_specs=spec_out)
     return fn(x)
@@ -514,7 +583,6 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
     matmul path: two sharded pyramid applies (orders 1+2 fused, then the
     second order over the first-order magnitudes) with all magnitudes,
     reshapes and pooling local.  None signals fallback to GSPMD."""
-    from pytorch_wavelets_tpu.ops.fused_dtcwt import _analysis_pyramid_impl
     from pytorch_wavelets_tpu.transforms.scatternet import (
         _combined_mag, _scat_front_plan, smooth_mag,
     )
@@ -523,8 +591,8 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
         return None           # keep the reference %8 pad path on GSPMD
     if not (_mm_enabled(H) and _mm_enabled(W)):
         return None
-    n_sp = mesh.shape["spatial"]
-    if W % n_sp:
+    n_h, n_sp = _mesh_sp(mesh)
+    if W % n_sp or H % max(n_h, 1):
         return None
     args = (filters["h0o"], filters["h1o"],
             filters.get("h0a", filters["h0o"]),
@@ -537,19 +605,19 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
         return None
     op2 = _pyramid_shard_op(plan2, W, n_sp)
     op1 = _pyramid_shard_op(plan1, W // 2, n_sp)
-    if op2 is None or op1 is None:
+    s2_2 = _pyramid_stage2_strategies(plan2, n_h)
+    s2_1 = _pyramid_stage2_strategies(plan1, n_h)
+    if op2 is None or op1 is None or s2_2 is None or s2_1 is None:
         return None
 
     def local(xl):
-        z = apply_sharded_op([xl], op2, 3, "spatial")
-        lls, highs = _analysis_pyramid_impl(None, plan2, 1, z=z, kdiv=n_sp)
+        lls, highs = _sharded_pyramid(xl, 1, op2, s2_2, n_sp, n_h)
         s0 = lls[-1]
         (r1, i1), (r2, i2) = highs
 
         def second_order(u1):
-            z1 = apply_sharded_op([u1], op1, 3, "spatial")
-            (u1_ll, *_), ((r3, i3),) = _analysis_pyramid_impl(
-                None, plan1, 1, z=z1, kdiv=n_sp)
+            (u1_ll, *_), ((r3, i3),) = _sharded_pyramid(
+                u1, 1, op1, s2_1, n_sp, n_h)
             return u1_ll, r3, i3
 
         if combine_colour:
@@ -575,7 +643,8 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
         b, _, c, hh, ww = Z.shape
         return Z.reshape(b, 49 * c, hh, ww)
 
-    spec = P("data", None, None, "spatial")
+    hx = "spatial_h" if n_h > 1 else None
+    spec = P("data", None, hx, "spatial")
     fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
     return fn(x)
 

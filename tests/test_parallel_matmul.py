@@ -217,6 +217,30 @@ def test_mm_swt_2d_tiling(mesh2d, force_matmul):
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=2e-5)
 
 
+def test_mm_dtcwt_2d_tiling(mesh2d, force_matmul):
+    """Composed DTCWT pyramid under full HxW tiling: sharded stage-1 over
+    'spatial' AND sharded stage-2 over 'spatial_h'."""
+    x = jnp.asarray(_rand((4, 2, 64, 64), seed=23))
+    filters = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    out = _sharded_dtcwt2d_matmul(x, mesh2d, filters, 2, "symmetric")
+    assert out is not None, "2-D sharded matmul pyramid path not taken"
+    yl, yh = dtcwt2d(x, filters, J=2)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(yl),
+                               atol=2e-5)
+    for a, b in zip(out[1], yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mm_scat_j2_2d_tiling(mesh2d, force_matmul):
+    x = jnp.asarray(_rand((4, 3, 32, 32), seed=24))
+    m = tw.ScatLayerj2()
+    filters = dict(m._filters)
+    z_s = _sharded_scat_j2_matmul(x, mesh2d, filters, "symmetric", 1e-2)
+    assert z_s is not None, "2-D sharded matmul scatternet path not taken"
+    z = scat_layer_j2(x, filters)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z), atol=2e-5)
+
+
 def test_mm_dwt_deep_level_gather_reshard(mesh, force_matmul):
     """J deep enough that the level tile shrinks below the halo: the
     level is gather-resharded (all_gather of the small axis) instead of
