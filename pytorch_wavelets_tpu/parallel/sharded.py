@@ -41,7 +41,8 @@ from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
 from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
 
 __all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_swt2d",
-           "sharded_iswt2d", "sharded_dtcwt2d", "sharded_scat_j2"]
+           "sharded_iswt2d", "sharded_dtcwt2d", "sharded_idtcwt2d",
+           "sharded_scat_j2"]
 
 
 # --------------------------------------------------------------------------
@@ -147,7 +148,8 @@ def _strategy(T, n, row_blocks, col_blocks, wrap=True):
         for s in row_blocks:
             if s % n:
                 raise
-        return ("gather", (np.asarray(T), tuple(row_blocks)))
+        return ("gather", (np.asarray(T), tuple(row_blocks),
+                           tuple(col_blocks)))
 
 
 def _own_row_chunks(y, row_blocks, n, axis, axis_name):
@@ -166,16 +168,37 @@ def _own_row_chunks(y, row_blocks, n, axis, axis_name):
 
 
 def _apply_strategy(x, strat, axis, axis_name, n):
-    """One operator apply along ``axis`` under a strategy."""
+    """One operator apply along ``axis`` under a strategy.
+
+    ``x`` holds the concatenation of the operator's column blocks along
+    ``axis``; multi-block operators are split back into per-block parts
+    so halos (and gathers) happen per block — a tiled all_gather or a
+    single halo exchange of the concatenated local array would interleave
+    the blocks wrongly."""
     from pytorch_wavelets_tpu.ops import banded
     kind, obj = strat
-    if kind == "shard":
-        return apply_sharded_op([x], obj, axis, axis_name)
     if kind == "local":
         return (banded.apply_col(x, obj) if axis == 2
                 else banded.apply_row(x, obj))
-    T, row_blocks = obj                     # gather reshard
-    xg = lax.all_gather(x, axis_name, axis=axis, tiled=True)
+
+    def split_parts(tiles):
+        if len(tiles) == 1:
+            return [x]
+        parts, ofs = [], 0
+        for tsz in tiles:
+            parts.append(lax.slice_in_dim(x, ofs, ofs + tsz, axis=axis))
+            ofs += tsz
+        return parts
+
+    if kind == "shard":
+        return apply_sharded_op(split_parts(obj.col_tiles), obj, axis,
+                                axis_name)
+    T, row_blocks, col_blocks = obj         # gather reshard
+    parts = split_parts([c // n for c in col_blocks])
+    gathered = [lax.all_gather(p, axis_name, axis=axis, tiled=True)
+                for p in parts]
+    xg = (gathered[0] if len(gathered) == 1
+          else jnp.concatenate(gathered, axis=axis))
     y = (banded.apply_col(xg, T) if axis == 2
          else banded.apply_row(xg, T))
     return _own_row_chunks(y, row_blocks, n, axis, axis_name)
@@ -202,7 +225,7 @@ def _apply_merge(lo, hi, strat, axis, axis_name, n):
         x = jnp.concatenate([lo, hi], axis=axis)
         return (banded.apply_col(x, obj) if axis == 2
                 else banded.apply_row(x, obj))
-    T, row_blocks = obj
+    T, row_blocks, _ = obj
     log = lax.all_gather(lo, axis_name, axis=axis, tiled=True)
     hig = lax.all_gather(hi, axis_name, axis=axis, tiled=True)
     x = jnp.concatenate([log, hig], axis=axis)
@@ -649,6 +672,96 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
     return fn(x)
 
 
+def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
+    """Composed whole-pyramid DTCWT inverse under spatial sharding (1-D W
+    or 2-D HxW): per-group sharded stage-1 row applies on the c2q-combined
+    band blocks, then one summed sharded stage-2 over 'spatial_h'.
+    None signals fallback to GSPMD."""
+    import math
+    from pytorch_wavelets_tpu.transforms.dtcwt import _inv_pyramid_plan
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _SB_ORIENTS, _cat
+    low, highs = coeffs
+    if low is None or any(h is None or h.size == 0 for h in highs):
+        return None
+    n_h, n_sp = _mesh_sp(mesh)
+    sizes = []
+    for h in highs:
+        if h.ndim != 6 or h.shape[2] != 6 or h.shape[-1] != 2:
+            return None                    # default o_dim=2, ri_dim=-1 only
+        sizes.append((h.shape[3], h.shape[4]))
+    yl_hw = (low.shape[2], low.shape[3])
+    dims = [d for hw in sizes for d in hw] + list(yl_hw)
+    if not all(_mm_enabled(2 * d) for d in dims):
+        return None
+    plan = _inv_pyramid_plan(
+        filters["g0o"], filters["g1o"], filters["g0a"], filters["g1a"],
+        filters["g0b"], filters["g1b"], mode, yl_hw, tuple(sizes))
+    if plan is None:
+        return None
+    levels, ll_spec, _ = plan
+
+    sqrt2 = math.sqrt(2.0)
+    try:
+        ginfo = []                         # per level: list of group plans
+        for lev, (hb, wb) in zip(levels, sizes):
+            groups: dict = {}
+            for name, (R, C) in lev["bands"]:
+                groups.setdefault(id(R), (R, []))[1].append((name, C))
+            lv = []
+            for R, members in groups.values():
+                Rt = np.ascontiguousarray(
+                    _cat(R[:, 0::2].T, R[:, 1::2].T).T * (1.0 / sqrt2))
+                row = _strategy(Rt, n_sp, [Rt.shape[0]], [wb, wb],
+                                wrap=False)
+                cms = [np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)
+                       for _, C in members]
+                Cm = np.ascontiguousarray(np.concatenate(cms, axis=1))
+                col = _strategy(Cm, n_h, [Cm.shape[0]],
+                                [hb, hb] * len(members), wrap=False)
+                lv.append((members, row, col))
+            ginfo.append(lv)
+        R_ll, C_ll = ll_spec
+        ll_row = _strategy(np.ascontiguousarray(R_ll), n_sp,
+                           [R_ll.shape[0]], [yl_hw[1]], wrap=False)
+        ll_col = _strategy(np.ascontiguousarray(C_ll), n_h,
+                           [C_ll.shape[0]], [yl_hw[0]], wrap=False)
+    except ValueError:
+        return None
+
+    def local(ll, hs):
+        y = None
+        for h, lv in zip(hs, ginfo):
+            r = jnp.moveaxis(h[..., 0], 2, 0)
+            i = jnp.moveaxis(h[..., 1], 2, 0)
+            for members, row, col in lv:
+                p1s, p2s = [], []
+                for name, _C in members:
+                    o1, o2 = _SB_ORIENTS[name]
+                    x1 = r[o1] + r[o2]
+                    x2 = i[o1] + i[o2]
+                    x3 = i[o1] - i[o2]
+                    x4 = r[o2] - r[o1]
+                    p1s.append(jnp.concatenate([x1, x3], axis=2))
+                    p2s.append(jnp.concatenate([x2, x4], axis=2))
+                p1 = (jnp.concatenate(p1s, axis=2) if len(p1s) > 1
+                      else p1s[0])
+                p2 = (jnp.concatenate(p2s, axis=2) if len(p2s) > 1
+                      else p2s[0])
+                t = _apply_merge(p1, p2, row, 3, "spatial", n_sp)
+                contrib = _apply_strategy(t, col, 2, "spatial_h", n_h)
+                y = contrib if y is None else y + contrib
+        t_ll = _apply_strategy(ll, ll_row, 3, "spatial", n_sp)
+        y = y + _apply_strategy(t_ll, ll_col, 2, "spatial_h", n_h)
+        return y
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec_l = P("data", None, hx, "spatial")
+    spec_h = [P("data", None, None, hx, "spatial", None)] * len(highs)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
+                   out_specs=spec_l)
+    return fn(low, list(highs))
+
+
 # --------------------------------------------------------------------------
 # GSPMD-partitioned paths (fallback: any transform / mode)
 # --------------------------------------------------------------------------
@@ -663,7 +776,8 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
     out = _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode)
     if out is not None:
         return out
-    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None,
+    hx = "spatial_h" if "spatial_h" in mesh.shape else None
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
                                                  "spatial")))
 
     @partial(jax.jit,
@@ -674,6 +788,31 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
     return run(xs)
 
 
+def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric"):
+    """DTCWT inverse under spatial sharding (matmul composed pyramid on
+    the fast path — 1-D W or 2-D HxW meshes; GSPMD otherwise).
+
+    coeffs: (yl, yh) in the default o_dim=2 / ri_dim=-1 layout.
+    filters: dict from :func:`transforms.dtcwt_xfm.dtcwt_inv_filters`."""
+    from pytorch_wavelets_tpu.transforms.dtcwt_xfm import idtcwt2d
+    out = _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode)
+    if out is not None:
+        return out
+    low, highs = coeffs
+    hx = "spatial_h" if "spatial_h" in mesh.shape else None
+    sh = NamedSharding(mesh, P("data", None, hx, "spatial"))
+    sh_h = NamedSharding(mesh, P("data", None, None, hx, "spatial",
+                                 None))
+    low = jax.device_put(low, sh)
+    highs = [jax.device_put(h, sh_h) for h in highs]
+
+    @jax.jit
+    def run(l, hs):
+        return idtcwt2d((l, hs), filters, mode=mode)
+
+    return run(low, highs)
+
+
 def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
                     combine_colour=False):
     """Second-order scatternet, batch-DP over 'data', W over 'spatial'
@@ -682,7 +821,8 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
                                   combine_colour)
     if out is not None:
         return out
-    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None,
+    hx = "spatial_h" if "spatial_h" in mesh.shape else None
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
                                                  "spatial")))
 
     @jax.jit
