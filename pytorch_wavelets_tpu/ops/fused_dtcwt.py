@@ -167,21 +167,17 @@ def _cstack(members):
                   for p in (0, 1)]) * (1.0 / _SQRT2)
 
 
-def _analysis_pyramid_impl(x, levels, o_dim, z=None, kdiv=1):
-    """``z``/``kdiv``: the spatially-sharded path (parallel/sharded.py)
-    computes stage 1 itself with halo'd per-shard operator chunks and
-    passes the local intermediate in; every block's slice of the stacked
-    k axis is then 1/kdiv of its global extent (blocks tile uniformly
-    over shards), so the global plan offsets divide through."""
+def _analysis_pyramid_impl(x, levels, o_dim):
+    # the spatially-sharded twin of this function is
+    # parallel/sharded.py:_sharded_pyramid (same layout, offsets divided
+    # by the shard counts, strategies instead of direct stages)
     blocks, plan = _pyramid_layout(levels)
-    if z is None:
-        z = _row_stage(x, _cat(*blocks))
+    z = _row_stage(x, _cat(*blocks))
 
     lls, highs = [], []
     for entry in plan:
         quads = {}
         for members, go, gn in entry["groups"]:
-            go, gn = go // kdiv, gn // kdiv
             k = gn // 2
             y = _col_stage(z[..., go:go + gn], _cstack(members))
             mofs = 0
@@ -195,7 +191,6 @@ def _analysis_pyramid_impl(x, levels, o_dim, z=None, kdiv=1):
         highs.append(_q2c_epilogue(quads, o_dim) if quads else None)
         if entry["ll"] is not None:
             C, go, gn = entry["ll"]
-            go, gn = go // kdiv, gn // kdiv
             lls.append(_col_stage(z[..., go:go + gn], C))
         else:
             lls.append(None)

@@ -111,24 +111,6 @@ def _sfb_atrous_T(g0, g1, mode, d, n):
         _sfb_atrous_matrix(g0, g1, mode, d, ns), n, 1, 2)
 
 
-def _afb1d_per_sharded_mm(x, op, axis_name):
-    """W-axis periodization analysis split as a sharded operator matmul.
-    Returns (N, C, 2, H, M_local) like the conv twin."""
-    y = apply_sharded_op([x], op, 3, axis_name)        # (N, C, H, 2*Mloc)
-    y = y.reshape(*y.shape[:3], 2, -1)
-    return jnp.moveaxis(y, 3, 2)
-
-
-def _afb1d_col_mm(x, T):
-    """H-axis (unsharded) analysis split via a precomputed operator.
-    Returns (N, C, 2, M, W) like ops.afb_sfb._afb1d_corr."""
-    from pytorch_wavelets_tpu.ops import banded
-    if x.shape[2] % 2 == 1:
-        x = jnp.concatenate([x, x[:, :, -1:]], axis=2)
-    y = banded.apply_col(x, T)                         # (N, C, 2M, W)
-    return y.reshape(*y.shape[:2], 2, -1, y.shape[-1])
-
-
 # --------------------------------------------------------------------------
 # Per-axis per-level strategies: 'local' (axis not sharded), 'shard'
 # (halo'd per-shard operator chunks), 'gather' (deep-level reshard: the
@@ -234,7 +216,10 @@ def _apply_merge(lo, hi, strat, axis, axis_name, n):
 
 
 def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
-    """Per-level ShardedOps for the W-axis periodization analysis."""
+    """Per-level ShardedOps for the W-axis periodization analysis (used
+    by tools/comm_model.py and tools/scaling_evidence.py for the
+    communication-volume model; the transforms use the strategy
+    builders below)."""
     rh0, rh1 = taps_row
     ops = []
     w = W
@@ -243,19 +228,6 @@ def _dwt_row_analysis_plans(taps_row, J, W, n_sp):
         M = T.shape[0] // 2
         ops.append(build_sharded_op(T, n_sp, [M, M], [w], wrap=True))
         w = M
-    return ops
-
-
-def _dwt_row_synthesis_plans(taps_row, J, W, n_sp):
-    """Fine-first per-level ShardedOps for the W-axis periodization
-    synthesis merge (inputs [lo | hi])."""
-    g0, g1 = taps_row
-    ops = []
-    for j in range(J):
-        n = W // 2 ** (j + 1)
-        T = _sfb_T(g0, g1, "periodization", n)          # (2n, 2n)
-        ops.append(build_sharded_op(T, n_sp, [T.shape[0]], [n, n],
-                                    wrap=True))
     return ops
 
 
@@ -331,6 +303,17 @@ def _mesh_sp(mesh):
     return dict(mesh.shape).get("spatial_h", 1), mesh.shape["spatial"]
 
 
+def _plan_cached(fn):
+    """Byte-budgeted memoizer for the trace-time strategy builders: a
+    ShardedOp holds the (n_shards, M_local, win) stacked matrix (tens to
+    hundreds of MB at large W), and rebuilding it per call/retrace costs
+    an O(M*K) nonzero scan plus fresh constants each trace — same budget
+    discipline as the composed-pyramid plan caches."""
+    from pytorch_wavelets_tpu.transforms.dtcwt import _budgeted_plan_cache
+    return _budgeted_plan_cache(fn)
+
+
+@_plan_cached
 def _dwt_split_strategies(taps, mode, n0, n_shards, J):
     """Per-level strategies for one axis of the analysis pyramid (odd
     level sizes take the periodization make-even repeat, matching the
@@ -344,6 +327,35 @@ def _dwt_split_strategies(taps, mode, n0, n_shards, J):
         strats.append(_strategy(T, n_shards, [M, M], [n]))
         n = M
     return strats
+
+
+@_plan_cached
+def _dwt_merge_strategies(taps, sizes, n_shards):
+    """Per-level strategies for one axis of the synthesis pyramid;
+    ``sizes``: per-level (fine-first) lo/hi lengths."""
+    out = []
+    for n in sizes:
+        T = _sfb_T(taps[0], taps[1], "periodization", n)
+        out.append(_strategy(T, n_shards, [T.shape[0]], [n, n]))
+    return out
+
+
+@_plan_cached
+def _swt_split_strategies(taps, n, n_shards, J):
+    out = []
+    for j in range(J):
+        T = _afb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
+        out.append(_strategy(T, n_shards, [n, n], [n]))
+    return out
+
+
+@_plan_cached
+def _swt_merge_strategies(taps, n, n_shards, J):
+    out = []
+    for j in range(J):
+        T = _sfb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
+        out.append(_strategy(T, n_shards, [n], [n, n]))
+    return out
 
 
 def sharded_dwt2d(x, mesh, wave="db4", J=3):
@@ -424,15 +436,10 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
     n_h, n_sp = _mesh_sp(mesh)
     W_out = yl.shape[-1] * 2 ** J
 
-    def merge_strategies(taps, n0, n_shards, sizes):
-        out = []
-        for n in sizes:
-            T = _sfb_T(taps[0], taps[1], "periodization", n)
-            out.append(_strategy(T, n_shards, [T.shape[0]], [n, n]))
-        return out
-
-    mm = _sharded_mm_wanted(
-        max(W_out, 2 * max(h.shape[-2] for h in yh)))
+    # same size gate as the forward (max sharded-axis extent) so a
+    # forward-produced pyramid always inverts on the same mesh
+    H_out = 2 * yh[0].shape[-2]
+    mm = _sharded_mm_wanted(max(W_out, H_out))
     if n_h > 1 and not mm:
         raise ValueError("2-D (HxW) tiling requires the operator-matmul "
                          "path; on CPU force it with "
@@ -444,10 +451,10 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
         gc = (tuple(np.asarray(g0c).ravel()),
               tuple(np.asarray(g1c).ravel()))
         # fine-first sizes per level
-        row_s = merge_strategies(gr, W_out, n_sp,
-                                 [W_out // 2 ** (j + 1) for j in range(J)])
-        col_s = merge_strategies(gc, None, n_h,
-                                 [h.shape[-2] for h in yh])
+        row_s = _dwt_merge_strategies(
+            gr, tuple(W_out // 2 ** (j + 1) for j in range(J)), n_sp)
+        col_s = _dwt_merge_strategies(
+            gc, tuple(h.shape[-2] for h in yh), n_h)
 
     def local(ll, highs):
         for j, h in enumerate(highs[::-1]):
@@ -558,14 +565,29 @@ def _sharded_pyramid(xl, o_dim, op_w, s2, n_sp, n_h):
     return lls, highs
 
 
+@_plan_cached
+def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W,
+                           n_sp, n_h):
+    """(stage-1 ShardedOp, stage-2 strategies) for the composed forward
+    pyramid, or None."""
+    from pytorch_wavelets_tpu.transforms.dtcwt import _fwd_pyramid_plan
+    plan = _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J,
+                             (False,) * J, (False,) * J, mode, H, W)
+    if plan is None:
+        return None
+    op = _pyramid_shard_op(plan, W, n_sp)
+    s2 = _pyramid_stage2_strategies(plan, n_h)
+    if op is None or s2 is None:
+        return None
+    return op, s2
+
+
 def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
     """Composed whole-pyramid DTCWT forward under spatial sharding (1-D W
     or 2-D HxW tiling): one sharded stage-1 apply (halo ppermute +
     per-shard operator chunk), then sharded/local stage-2 column ops.
     None signals fallback to GSPMD."""
-    from pytorch_wavelets_tpu.transforms.dtcwt import (
-        _fwd_pyramid_plan, get_dimensions5,
-    )
+    from pytorch_wavelets_tpu.transforms.dtcwt import get_dimensions5
     H, W = x.shape[2], x.shape[3]
     if H % 2 or W % 2 or J == 0:
         return None
@@ -574,16 +596,12 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
     n_h, n_sp = _mesh_sp(mesh)
     if W % n_sp or H % max(n_h, 1):
         return None
-    plan = _fwd_pyramid_plan(
+    plans = _dtcwt_fwd_shard_plans(
         filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
-        filters["h0b"], filters["h1b"], J, (False,) * J, (False,) * J,
-        mode, H, W)
-    if plan is None:
+        filters["h0b"], filters["h1b"], J, mode, H, W, n_sp, n_h)
+    if plans is None:
         return None
-    op = _pyramid_shard_op(plan, W, n_sp)
-    s2 = _pyramid_stage2_strategies(plan, n_h)
-    if op is None or s2 is None:
-        return None
+    op, s2 = plans
     od, rd, _, _ = get_dimensions5(2, -1)
 
     def local(xl):
@@ -600,6 +618,22 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
     return fn(x)
 
 
+@_plan_cached
+def _scat_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W, n_sp,
+                      n_h):
+    """(stage-1 ShardedOp, stage-2 strategies) for a scatternet front
+    (pooled-lowpass pyramid), or None."""
+    from pytorch_wavelets_tpu.transforms.scatternet import _scat_front_plan
+    plan = _scat_front_plan(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W)
+    if plan is None:
+        return None
+    op = _pyramid_shard_op(plan, W, n_sp)
+    s2 = _pyramid_stage2_strategies(plan, n_h)
+    if op is None or s2 is None:
+        return None
+    return op, s2
+
+
 def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
                             combine_colour=False):
     """Second-order scatternet under spatial sharding on the composed
@@ -607,9 +641,11 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
     second order over the first-order magnitudes) with all magnitudes,
     reshapes and pooling local.  None signals fallback to GSPMD."""
     from pytorch_wavelets_tpu.transforms.scatternet import (
-        _combined_mag, _scat_front_plan, smooth_mag,
+        _combined_mag, smooth_mag,
     )
     H, W = x.shape[2], x.shape[3]
+    if combine_colour and x.shape[1] != 3:
+        raise ValueError("combine_colour requires 3 input channels")
     if H % 8 or W % 8:
         return None           # keep the reference %8 pad path on GSPMD
     if not (_mm_enabled(H) and _mm_enabled(W)):
@@ -622,16 +658,12 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
             filters.get("h1a", filters["h1o"]),
             filters.get("h0b", filters["h0o"]),
             filters.get("h1b", filters["h1o"]))
-    plan2 = _scat_front_plan(*args, 2, mode, H, W)
-    plan1 = _scat_front_plan(*args, 1, mode, H // 2, W // 2)
-    if plan2 is None or plan1 is None:
+    p2 = _scat_shard_plans(*args, 2, mode, H, W, n_sp, n_h)
+    p1 = _scat_shard_plans(*args, 1, mode, H // 2, W // 2, n_sp, n_h)
+    if p2 is None or p1 is None:
         return None
-    op2 = _pyramid_shard_op(plan2, W, n_sp)
-    op1 = _pyramid_shard_op(plan1, W // 2, n_sp)
-    s2_2 = _pyramid_stage2_strategies(plan2, n_h)
-    s2_1 = _pyramid_stage2_strategies(plan1, n_h)
-    if op2 is None or op1 is None or s2_2 is None or s2_1 is None:
-        return None
+    op2, s2_2 = p2
+    op1, s2_1 = p1
 
     def local(xl):
         lls, highs = _sharded_pyramid(xl, 1, op2, s2_2, n_sp, n_h)
@@ -672,34 +704,19 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
     return fn(x)
 
 
-def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
-    """Composed whole-pyramid DTCWT inverse under spatial sharding (1-D W
-    or 2-D HxW): per-group sharded stage-1 row applies on the c2q-combined
-    band blocks, then one summed sharded stage-2 over 'spatial_h'.
-    None signals fallback to GSPMD."""
+@_plan_cached
+def _dtcwt_inv_shard_plans(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw,
+                           sizes, n_sp, n_h):
+    """(per-level group strategies, ll row strategy, ll col strategy) for
+    the composed inverse pyramid, or None."""
     import math
     from pytorch_wavelets_tpu.transforms.dtcwt import _inv_pyramid_plan
-    from pytorch_wavelets_tpu.ops.fused_dtcwt import _SB_ORIENTS, _cat
-    low, highs = coeffs
-    if low is None or any(h is None or h.size == 0 for h in highs):
-        return None
-    n_h, n_sp = _mesh_sp(mesh)
-    sizes = []
-    for h in highs:
-        if h.ndim != 6 or h.shape[2] != 6 or h.shape[-1] != 2:
-            return None                    # default o_dim=2, ri_dim=-1 only
-        sizes.append((h.shape[3], h.shape[4]))
-    yl_hw = (low.shape[2], low.shape[3])
-    dims = [d for hw in sizes for d in hw] + list(yl_hw)
-    if not all(_mm_enabled(2 * d) for d in dims):
-        return None
-    plan = _inv_pyramid_plan(
-        filters["g0o"], filters["g1o"], filters["g0a"], filters["g1a"],
-        filters["g0b"], filters["g1b"], mode, yl_hw, tuple(sizes))
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _cat
+    plan = _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw,
+                             sizes)
     if plan is None:
         return None
     levels, ll_spec, _ = plan
-
     sqrt2 = math.sqrt(2.0)
     try:
         ginfo = []                         # per level: list of group plans
@@ -727,6 +744,35 @@ def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
                            [C_ll.shape[0]], [yl_hw[0]], wrap=False)
     except ValueError:
         return None
+    return ginfo, ll_row, ll_col
+
+
+def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
+    """Composed whole-pyramid DTCWT inverse under spatial sharding (1-D W
+    or 2-D HxW): per-group sharded stage-1 row applies on the c2q-combined
+    band blocks, then one summed sharded stage-2 over 'spatial_h'.
+    None signals fallback to GSPMD."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _SB_ORIENTS
+    low, highs = coeffs
+    if low is None or any(h is None or h.size == 0 for h in highs):
+        return None
+    n_h, n_sp = _mesh_sp(mesh)
+    sizes = []
+    for h in highs:
+        if h.ndim != 6 or h.shape[2] != 6 or h.shape[-1] != 2:
+            return None                    # default o_dim=2, ri_dim=-1 only
+        sizes.append((h.shape[3], h.shape[4]))
+    yl_hw = (low.shape[2], low.shape[3])
+    dims = [d for hw in sizes for d in hw] + list(yl_hw)
+    if not all(_mm_enabled(2 * d) for d in dims):
+        return None
+    plans = _dtcwt_inv_shard_plans(
+        filters["g0o"], filters["g1o"], filters["g0a"], filters["g1a"],
+        filters["g0b"], filters["g1b"], mode, yl_hw, tuple(sizes), n_sp,
+        n_h)
+    if plans is None:
+        return None
+    ginfo, ll_row, ll_col = plans
 
     def local(ll, hs):
         y = None
@@ -899,14 +945,10 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
                          "banded.set_operator_matmul(True)")
     row_s = col_s = None
     if mm:
-        def atrous_strats(taps, n, n_shards):
-            out = []
-            for j in range(J):
-                T = _afb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
-                out.append(_strategy(T, n_shards, [n, n], [n]))
-            return out
-        row_s = atrous_strats((tuple(rh[0]), tuple(rh[1])), W, n_sp)
-        col_s = atrous_strats((tuple(rc[0]), tuple(rc[1])), H, n_h)
+        row_s = _swt_split_strategies((tuple(rh[0]), tuple(rh[1])), W,
+                                      n_sp, J)
+        col_s = _swt_split_strategies((tuple(rc[0]), tuple(rc[1])), H,
+                                      n_h, J)
 
     def local(xl):
         out = []
@@ -944,25 +986,21 @@ def sharded_iswt2d(coeffs, mesh, wave="db2"):
     W = coeffs[0].shape[-1]
     H = coeffs[0].shape[-2]
 
-    mm = _sharded_mm_wanted(2 * max(W, H))
+    # same size gate as the forward so a forward-produced pyramid always
+    # inverts on the same mesh
+    mm = _sharded_mm_wanted(max(W, H))
     if n_h > 1 and not mm:
         raise ValueError("2-D (HxW) tiling requires the operator-matmul "
                          "path; on CPU force it with "
                          "banded.set_operator_matmul(True)")
     row_s = col_s = None
     if mm:
-        def atrous_merge_strats(taps, n, n_shards):
-            out = []
-            for j in range(J):
-                T = _sfb_atrous_T(taps[0], taps[1], "periodic", 2 ** j, n)
-                out.append(_strategy(T, n_shards, [n], [n, n]))
-            return out
-        row_s = atrous_merge_strats(
+        row_s = _swt_merge_strategies(
             (tuple(np.asarray(g0r).ravel()),
-             tuple(np.asarray(g1r).ravel())), W, n_sp)
-        col_s = atrous_merge_strats(
+             tuple(np.asarray(g1r).ravel())), W, n_sp, J)
+        col_s = _swt_merge_strategies(
             (tuple(np.asarray(g0c).ravel()),
-             tuple(np.asarray(g1c).ravel())), H, n_h)
+             tuple(np.asarray(g1c).ravel())), H, n_h, J)
 
     def local(cs):
         ll = cs[-1][:, :, 0]
