@@ -35,6 +35,19 @@ def main():
           "| reconstruction err:",
           float(jnp.abs(rec - x).max()))
 
+    # full 2-D (HxW) image tiling: H over 'spatial_h', W over 'spatial'
+    # (operator-matmul path; on CPU it must be forced)
+    from pytorch_wavelets_tpu.ops import banded
+    banded.set_operator_matmul(True)
+    try:
+        mesh2d = make_mesh(n_data=2, n_spatial=2, n_spatial_h=2)
+        yl2, yh2 = sharded_dwt2d(x, mesh2d, wave="db4", J=2)
+        rec2 = sharded_idwt2d((yl2, yh2), mesh2d, wave="db4")
+        print("2-D tiling reconstruction err:",
+              float(jnp.abs(rec2 - x).max()))
+    finally:
+        banded.set_operator_matmul(None)
+
 
 if __name__ == "__main__":
     main()

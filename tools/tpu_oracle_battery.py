@@ -124,6 +124,40 @@ def main():
         if j > 0:
             check(f"dtcwt skip yh[{j}]", yh[j], yh_r[j])
 
+    # o_dim/ri_dim layout sweep: forward vs reference everywhere; inverse
+    # round-trip on the 7 layouts where the reference inverse crashes
+    # (its get_dimensions6 mislabels H/W — docs/parity.md)
+    x = rng.randn(1, 2, 32, 32).astype(np.float32)
+    for o_dim, ri_dim in ((1, 2), (2, 3), (3, 1), (2, 4), (4, 1), (5, 3)):
+        fo = tw.DTCWTForward(J=2, o_dim=o_dim, ri_dim=ri_dim)
+        yl, yh = jax.jit(lambda z: fo(z))(jnp.asarray(x))
+        tag = f"dtcwt layout o={o_dim} ri={ri_dim}"
+        try:
+            fr = pw.DTCWTForward(J=2, o_dim=o_dim, ri_dim=ri_dim)
+            yl_r, yh_r = fr(torch.from_numpy(x))
+            check(tag + " yl", yl, yl_r)
+            check(tag + " yh[0]", yh[0], yh_r[0])
+        except Exception:
+            pass
+        io = tw.DTCWTInverse(o_dim=o_dim, ri_dim=ri_dim)
+        rec = jax.jit(lambda c: io(c))((yl, yh))
+        check(tag + " roundtrip", rec, x, tol=1e-4)
+
+    # quad analysis: separable path vs reference, single-conv variant
+    # equal to the separable path on-chip
+    from pytorch_wavelets_tpu.filters import qshift as _qshift
+    from pytorch_wavelets_tpu.transforms.dtcwt_alt import (
+        quad_afb2d, quad_afb2d_nonsep)
+    h0a, h0b, _, _, h1a, h1b, _, _ = _qshift("qshift_a")
+    x = rng.randn(1, 2, 64, 64).astype(np.float32)
+    for mode in ("zero", "symmetric"):
+        y1l, y1h = jax.jit(lambda z: quad_afb2d(
+            z, h0a, h1a, h0b, h1b, mode))(jnp.asarray(x))
+        y2l, y2h = jax.jit(lambda z: quad_afb2d_nonsep(
+            z, h0a, h1a, h0b, h1b, mode))(jnp.asarray(x))
+        check(f"quad nonsep==sep {mode} yl", y2l, np.asarray(y1l))
+        check(f"quad nonsep==sep {mode} yh", y2h, np.asarray(y1h))
+
     # ---- ScatterNet -----------------------------------------------------
     x = rng.randn(2, 3, 64, 64).astype(np.float32)
     for kw in ({}, {"combine_colour": True},
