@@ -94,7 +94,7 @@ def _afb1d_corr(x, h0_taps, h1_taps, mode, axis):
     from pytorch_wavelets_tpu.ops import banded
     axis = axis % 4
     n = x.shape[axis]
-    if banded.matmul_enabled(n):
+    if banded.matmul_op_enabled(n):
         T = _afb_matrix(tuple(h0_taps), tuple(h1_taps), mode, n)
         if axis == 2:
             y = banded.apply_col(x, T)                    # (N, C, 2M, W)
@@ -108,9 +108,18 @@ def _afb1d_corr(x, h0_taps, h1_taps, mode, axis):
 @lru_cache(maxsize=None)
 def _afb_matrix(h0, h1, mode, n):
     from pytorch_wavelets_tpu.ops import banded
-    return banded.probe_op(
-        lambda I: _afb1d_corr_conv(I, np.asarray(h0), np.asarray(h1), mode,
-                                   2), n)
+    return banded.synthesized_or_probe(
+        lambda m: banded.probe_op(
+            lambda I: _afb1d_corr_conv(I, np.asarray(h0), np.asarray(h1),
+                                       mode, 2), m),
+        n, _ext_ns(len(h0)), 2, 1, (1, 2))
+
+
+def _ext_ns(L, dilation=1):
+    """Small-probe length for operator extension: large enough that the
+    boundary regions separate cleanly."""
+    ns = max(256, 16 * L * dilation)
+    return ns + (-ns) % 8
 
 
 def _afb1d_corr_conv(x, h0_taps, h1_taps, mode, axis):
@@ -171,7 +180,7 @@ def _afb1d_atrous_corr(x, h0_taps, h1_taps, mode, axis, dilation):
     from pytorch_wavelets_tpu.ops import banded
     axis = axis % 4
     n = x.shape[axis]
-    if banded.matmul_enabled(n):
+    if banded.matmul_op_enabled(n):
         T = _afb_atrous_matrix(tuple(h0_taps), tuple(h1_taps), mode,
                                dilation, n)
         if axis == 2:
@@ -187,10 +196,12 @@ def _afb1d_atrous_corr(x, h0_taps, h1_taps, mode, axis, dilation):
 @lru_cache(maxsize=None)
 def _afb_atrous_matrix(h0, h1, mode, dilation, n, dtype_str="f4"):
     from pytorch_wavelets_tpu.ops import banded
-    return banded.probe_op(
-        lambda I: _afb1d_atrous_corr_conv(I, np.asarray(h0), np.asarray(h1),
-                                          mode, 2, dilation), n,
-        dtype=np.dtype(dtype_str).type)
+    return banded.synthesized_or_probe(
+        lambda m: banded.probe_op(
+            lambda I: _afb1d_atrous_corr_conv(
+                I, np.asarray(h0), np.asarray(h1), mode, 2, dilation), m,
+            dtype=np.dtype(dtype_str).type),
+        n, _ext_ns(len(h0), dilation), 2, 1, (1, 1))
 
 
 def _afb1d_atrous_corr_conv(x, h0_taps, h1_taps, mode, axis, dilation):
@@ -223,7 +234,7 @@ def _sfb1d_conv(lo, hi, g0_taps, g1_taps, mode, axis):
     from pytorch_wavelets_tpu.ops import banded
     axis = axis % 4
     n = lo.shape[axis]
-    if banded.matmul_enabled(2 * n):
+    if banded.matmul_op_enabled(2 * n):
         T = _sfb_matrix(tuple(g0_taps), tuple(g1_taps), mode, n)
         xcat = jnp.concatenate([lo, hi], axis=axis)
         if axis == 2:
@@ -237,13 +248,15 @@ def _sfb_matrix(g0, g1, mode, n):
     """Operator matrix of the synthesis merge on concat(lo, hi)."""
     from pytorch_wavelets_tpu.ops import banded
 
-    def fn(I):  # I: (1, 1, 2n, 2n) identity over the concatenated input
-        lo = I[:, :, :n]
-        hi = I[:, :, n:]
-        return _sfb1d_conv_conv(lo, hi, np.asarray(g0), np.asarray(g1),
-                                mode, 2)
+    def direct(m):
+        def fn(I):  # I: (1, 1, 2m, 2m) identity over the concat input
+            return _sfb1d_conv_conv(I[:, :, :m], I[:, :, m:],
+                                    np.asarray(g0), np.asarray(g1),
+                                    mode, 2)
+        return banded.probe_op(fn, 2 * m)
 
-    return banded.probe_op(fn, 2 * n)
+    return banded.synthesized_or_probe(direct, n, _ext_ns(len(g0)) // 2,
+                                       1, 2, (2, 1))
 
 
 def _sfb1d_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis):
@@ -294,7 +307,7 @@ def _sfb1d_atrous_conv(lo, hi, g0_taps, g1_taps, mode, axis, dilation):
     from pytorch_wavelets_tpu.ops import banded
     axis = axis % 4
     n = lo.shape[axis]
-    if banded.matmul_enabled(2 * n):
+    if banded.matmul_op_enabled(2 * n):
         T = _sfb_atrous_matrix(tuple(g0_taps), tuple(g1_taps), mode,
                                dilation, n)
         xcat = jnp.concatenate([lo, hi], axis=axis)
@@ -309,12 +322,16 @@ def _sfb1d_atrous_conv(lo, hi, g0_taps, g1_taps, mode, axis, dilation):
 def _sfb_atrous_matrix(g0, g1, mode, dilation, n):
     from pytorch_wavelets_tpu.ops import banded
 
-    def fn(I):
-        return _sfb1d_atrous_conv_conv(I[:, :, :n], I[:, :, n:],
-                                       np.asarray(g0), np.asarray(g1),
-                                       mode, 2, dilation)
+    def direct(m):
+        def fn(I):
+            return _sfb1d_atrous_conv_conv(I[:, :, :m], I[:, :, m:],
+                                           np.asarray(g0), np.asarray(g1),
+                                           mode, 2, dilation)
+        return banded.probe_op(fn, 2 * m)
 
-    return banded.probe_op(fn, 2 * n)
+    return banded.synthesized_or_probe(direct, n,
+                                       _ext_ns(len(g0), dilation), 1, 2,
+                                       (1, 1))
 
 
 def _sfb1d_atrous_conv_conv(lo, hi, g0_taps, g1_taps, mode, axis, dilation):

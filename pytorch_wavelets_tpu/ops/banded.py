@@ -31,18 +31,42 @@ from jax import lax
 from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
 
 __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
-           "matmul_requested", "extend_wrap_operator", "MAX_MATMUL_N"]
+           "matmul_requested", "extend_wrap_operator", "extend_operator",
+           "MAX_MATMUL_N"]
 
-# Above this axis length the identity-probe (an NxN host conv + an NxN
-# f32 matrix per op) becomes the cost driver and we fall back to the conv
-# path.  The cap must comfortably exceed 2x the largest intended image
-# axis: synthesis merges check matmul_enabled(2n), and symmetric-mode
-# level sizes run a few samples over the power of two (e.g. 4096 ->
-# lo/hi of 2051 -> merge operator over 4102).  NOTE the conv fallback is
-# pathological on TPU for small channel counts (XLA pads NCHW convs
-# ~128x in layout at these sizes) — prefer sharding over conv for
-# gigantic images.
+# Above this axis length the COMPOSED/fused planners fall back to the
+# per-level path: cross-level composition multiplies dense O(n^2)
+# operator matrices on the host, which becomes the cost driver.  The cap
+# must comfortably exceed 2x the largest intended composed-image axis:
+# synthesis merges check matmul_enabled(2n), and symmetric-mode level
+# sizes run a few samples over the power of two (e.g. 4096 -> lo/hi of
+# 2051 -> merge operator over 4102).
 MAX_MATMUL_N = 8832
+
+# PER-LEVEL operators keep the matmul path far beyond that: above
+# DIRECT_PROBE_N their matrices are synthesized from a small verified
+# probe (extend_operator) instead of an O(n^2) identity probe, so the
+# only cost left is the dense host transient while building
+# (~(rows x n_big) f32; 32768 keeps it under ~8 GB).  The conv fallback
+# is pathological on TPU for small channel counts (XLA pads NCHW convs
+# ~128x in layout at these sizes), so extending the matmul envelope is
+# the single-chip recipe for gigantic images.
+MAX_OP_MATMUL_N = 32768
+DIRECT_PROBE_N = 4096
+
+
+def synthesized_or_probe(direct_fn, n, ns, row_blocks, col_blocks, shift):
+    """Matrix for length ``n``: direct probe when small, otherwise
+    synthesized from a probe at ``ns`` via :func:`extend_operator`
+    (falling back to the direct probe when the structure doesn't admit
+    extension, e.g. odd lengths breaking the affine size relation)."""
+    if n <= DIRECT_PROBE_N or ns >= n:
+        return direct_fn(n)
+    try:
+        return extend_operator(direct_fn(ns), n, row_blocks, col_blocks,
+                               shift)
+    except ValueError:
+        return direct_fn(n)
 
 _FORCE = None  # None = auto (matmul unless CPU backend); True/False force
 
@@ -55,6 +79,12 @@ def set_operator_matmul(enabled):
 
 def matmul_enabled(n: int) -> bool:
     return matmul_requested() and n <= MAX_MATMUL_N
+
+
+def matmul_op_enabled(n: int) -> bool:
+    """Per-level operator dispatch: matrices synthesize past the probe
+    cap, so the matmul envelope extends to MAX_OP_MATMUL_N."""
+    return matmul_requested() and n <= MAX_OP_MATMUL_N
 
 
 def matmul_requested() -> bool:
@@ -70,6 +100,107 @@ def matmul_requested() -> bool:
     except Exception:
         return False
     return backend != "cpu"
+
+
+def extend_operator(T_small: np.ndarray, n_big: int, row_blocks: int,
+                    col_blocks: int, shift) -> np.ndarray:
+    """Synthesize a big filterbank operator from a small probe, any mode.
+
+    All 1-D filterbank operators in this library are translation-invariant
+    away from the axis ends: within each (row block, col block) pair, rows
+    advance their band by ``a`` columns every ``p`` rows
+    (``shift = (p, a)``; analysis (1, 2), non-decimated and a trous
+    (1, 1), interpolating/synthesis (2, 1)).  Boundary handling — whether
+    reflection folding, zero truncation, or periodization wrap-adds — only
+    affects rows whose band reaches an axis end, and depends only on the
+    distance to that end.
+
+    Extension rule: rows matching the translation prediction (phase
+    patterns read from the probe's middle rows) are re-anchored at
+    ``n_big``'s scale; the remaining rows must form a contiguous top
+    prefix / bottom suffix and are copied verbatim with each nonzero
+    anchored to its nearer axis end (left-half columns keep their index,
+    right-half columns shift by the axis growth — this maps periodization
+    wrap-adds to the correct far columns too).  Exactness is guaranteed
+    by construction because boundary rows see the identical edge
+    geometry; validated against direct probes in tests/test_banded.py.
+
+    Raises ValueError when the probe is too small to separate the
+    boundary regions or the structure does not match ``shift``.
+    """
+    M_s, C_s = T_small.shape
+    if M_s % row_blocks or C_s % col_blocks:
+        raise ValueError("block structure does not divide the probe")
+    m_s, c_s = M_s // row_blocks, C_s // col_blocks
+    p, a = shift
+    if ((n_big - c_s) * p) % a:
+        raise ValueError("n_big incompatible with the shift structure")
+    grow = ((n_big - c_s) * p) // a
+    m_b, c_b = m_s + grow, n_big
+    if m_b <= 0:
+        raise ValueError("probe larger than target")
+    tol = np.abs(T_small).max() * 1e-12
+    out = np.zeros((row_blocks * m_b, col_blocks * c_b), T_small.dtype)
+    for rb in range(row_blocks):
+        for cb in range(col_blocks):
+            B = T_small[rb * m_s:(rb + 1) * m_s,
+                        cb * c_s:(cb + 1) * c_s]
+            # phase patterns from the middle rows
+            pats = {}
+            for q in range(p):
+                r0 = q + p * max(0, ((m_s // 2) - q) // p)
+                anchor0 = a * ((r0 - q) // p)
+                nz = np.nonzero(np.abs(B[r0]) > tol)[0]
+                pats[q] = (nz - anchor0, B[r0][nz], r0)
+
+            def predict(r, c_len):
+                q = r % p
+                offs, vals, _ = pats[q]
+                cols = offs + a * ((r - q) // p)
+                ok = (cols >= 0) & (cols < c_len)
+                return cols, vals, bool(ok.all())
+
+            interior = np.zeros(m_s, bool)
+            for r in range(m_s):
+                cols, vals, ok = predict(r, c_s)
+                if not ok:
+                    continue
+                row = np.zeros(c_s, T_small.dtype)
+                row[cols] = vals
+                interior[r] = np.array_equal(row, B[r])
+            if not interior.any():
+                raise ValueError("probe too small: no interior rows")
+            top = int(np.argmax(interior))              # first interior row
+            bot = int(np.argmax(interior[::-1]))        # trailing boundary
+            if not interior[top:m_s - bot].all():
+                raise ValueError(
+                    "boundary rows are not a contiguous prefix/suffix — "
+                    "operator does not match the declared shift structure")
+            half = c_s // 2
+            dc = c_b - c_s
+
+            def anchor_copy(r_src, r_dst):
+                nz = np.nonzero(np.abs(B[r_src]) > tol)[0]
+                left, right = nz[nz < half], nz[nz >= half]
+                if left.size and right.size and \
+                        int(right.min()) - int(left.max()) < c_s // 4:
+                    raise ValueError(
+                        "probe too small: a boundary row's band straddles "
+                        "the column midpoint — use a larger small probe")
+                cols = np.where(nz < half, nz, nz + dc)
+                out[rb * m_b + r_dst, cb * c_b + cols] = B[r_src][nz]
+
+            for r in range(top):                        # top boundary rows
+                anchor_copy(r, r)
+            for rr in range(bot):                       # bottom boundary
+                anchor_copy(m_s - 1 - rr, m_b - 1 - rr)
+            for r in range(top, m_b - bot):             # interior rows
+                cols, vals, ok = predict(r, c_b)
+                if not ok:
+                    raise ValueError("probe too small: interior band "
+                                     "escapes the axis")
+                out[rb * m_b + r, cb * c_b + cols] = vals
+    return out
 
 
 def extend_wrap_operator(T_small: np.ndarray, n_big: int,

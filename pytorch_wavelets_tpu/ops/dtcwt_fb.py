@@ -45,7 +45,7 @@ def _filter_axis(x, taps, axis, mode):
     Dispatches to the MXU operator-matmul fast path off-CPU."""
     from pytorch_wavelets_tpu.ops import banded
     n = x.shape[axis % 4]
-    if banded.matmul_enabled(n):
+    if banded.matmul_op_enabled(n):
         T = _filter_matrix(tuple(np.asarray(taps).ravel()), mode, n)
         if axis % 4 == 2:
             return banded.apply_col(x, T)
@@ -56,8 +56,11 @@ def _filter_axis(x, taps, axis, mode):
 @lru_cache(maxsize=None)
 def _filter_matrix(taps, mode, n):
     from pytorch_wavelets_tpu.ops import banded
-    return banded.probe_op(
-        lambda I: _filter_axis_conv(I, np.asarray(taps), 2, mode), n)
+    from pytorch_wavelets_tpu.ops.afb_sfb import _ext_ns
+    return banded.synthesized_or_probe(
+        lambda m: banded.probe_op(
+            lambda I: _filter_axis_conv(I, np.asarray(taps), 2, mode), m),
+        n, _ext_ns(len(taps)), 1, 1, (1, 1))
 
 
 def _filter_axis_conv(x, taps, axis, mode):
@@ -99,7 +102,7 @@ def _dfilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
         raise ValueError(
             f"Length of axis {axis} must be a multiple of 4, got {n}")
     from pytorch_wavelets_tpu.ops import banded
-    if banded.matmul_enabled(n):
+    if banded.matmul_op_enabled(n):
         T = _dfilt_matrix(tuple(np.asarray(ha_taps).ravel()),
                           tuple(np.asarray(hb_taps).ravel()),
                           bool(highpass), n)
@@ -112,9 +115,12 @@ def _dfilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
 @lru_cache(maxsize=None)
 def _dfilt_matrix(ha, hb, highpass, n):
     from pytorch_wavelets_tpu.ops import banded
-    return banded.probe_op(
-        lambda I: _dfilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
-                                   highpass, "symmetric", 2), n)
+    from pytorch_wavelets_tpu.ops.afb_sfb import _ext_ns
+    return banded.synthesized_or_probe(
+        lambda m: banded.probe_op(
+            lambda I: _dfilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
+                                       highpass, "symmetric", 2), m),
+        n, _ext_ns(len(ha)), 1, 1, (2, 4))
 
 
 def _dfilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis):
@@ -190,7 +196,7 @@ def _ifilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
         raise ValueError(
             f"Length of axis {axis} must be a multiple of 2, got {n}")
     from pytorch_wavelets_tpu.ops import banded
-    if banded.matmul_enabled(n):
+    if banded.matmul_op_enabled(n):
         T = _ifilt_matrix(tuple(np.asarray(ha_taps).ravel()),
                           tuple(np.asarray(hb_taps).ravel()),
                           bool(highpass), n)
@@ -203,9 +209,12 @@ def _ifilt_axis(x, ha_taps, hb_taps, highpass, mode, axis):
 @lru_cache(maxsize=None)
 def _ifilt_matrix(ha, hb, highpass, n):
     from pytorch_wavelets_tpu.ops import banded
-    return banded.probe_op(
-        lambda I: _ifilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
-                                   highpass, "symmetric", 2), n)
+    from pytorch_wavelets_tpu.ops.afb_sfb import _ext_ns
+    return banded.synthesized_or_probe(
+        lambda m: banded.probe_op(
+            lambda I: _ifilt_axis_conv(I, np.asarray(ha), np.asarray(hb),
+                                       highpass, "symmetric", 2), m),
+        n, _ext_ns(len(ha)), 1, 1, (4, 2))
 
 
 def _ifilt_axis_conv(x, ha_taps, hb_taps, highpass, mode, axis):

@@ -54,12 +54,10 @@ def _mm_enabled(n):
     return banded.matmul_enabled(n)
 
 
-# Above _EXT_MIN, wrap-mode operators are synthesized from a small
-# verified probe (banded.extend_wrap_operator) instead of an O(n^2)
-# identity probe — this is what lets the sharded DWT/SWT matmul path go
-# past banded.MAX_MATMUL_N.  _SHARDED_MM_CAP bounds the dense trace-time
-# transients (a 32768-wide operator is ~4 GB host RAM while building).
-_EXT_MIN = 4096
+# _SHARDED_MM_CAP bounds the dense trace-time transients (a 32768-wide
+# operator is ~4-8 GB host RAM while building); past banded.DIRECT_PROBE_N
+# the operators themselves are synthesized from small verified probes
+# (banded.extend_operator, inside the ops-layer matrix constructors).
 _SHARDED_MM_CAP = 32768
 
 
@@ -68,47 +66,28 @@ def _sharded_mm_wanted(n):
     return banded.matmul_requested() and n <= _SHARDED_MM_CAP
 
 
+# Operator getters: the cached matrix constructors in ops/afb_sfb
+# synthesize past banded.DIRECT_PROBE_N themselves (extend_operator), so
+# these are straight delegations kept for the trace-time plan builders.
+
 def _afb_T(rh0, rh1, mode, n):
-    """Wrap-mode analysis operator [lo; hi] at any length (extension past
-    _EXT_MIN)."""
-    from pytorch_wavelets_tpu.ops import banded
     from pytorch_wavelets_tpu.ops.afb_sfb import _afb_matrix
-    if n <= _EXT_MIN:
-        return _afb_matrix(rh0, rh1, mode, n)
-    ns = max(256, 4 * len(rh0))
-    return banded.extend_wrap_operator(_afb_matrix(rh0, rh1, mode, ns),
-                                       n, 2, 1)
+    return _afb_matrix(rh0, rh1, mode, n)
 
 
 def _sfb_T(g0, g1, mode, n):
-    """Wrap-mode synthesis merge operator (2n x [lo | hi])."""
-    from pytorch_wavelets_tpu.ops import banded
     from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_matrix
-    if n <= _EXT_MIN // 2:
-        return _sfb_matrix(g0, g1, mode, n)
-    ns = max(128, 4 * len(g0))
-    return banded.extend_wrap_operator(_sfb_matrix(g0, g1, mode, ns),
-                                       n, 1, 2)
+    return _sfb_matrix(g0, g1, mode, n)
 
 
 def _afb_atrous_T(rh0, rh1, mode, d, n):
-    from pytorch_wavelets_tpu.ops import banded
     from pytorch_wavelets_tpu.ops.afb_sfb import _afb_atrous_matrix
-    ns = max(256, 4 * len(rh0) * d)
-    if n <= max(_EXT_MIN, ns):
-        return _afb_atrous_matrix(rh0, rh1, mode, d, n)
-    return banded.extend_wrap_operator(
-        _afb_atrous_matrix(rh0, rh1, mode, d, ns), n, 2, 1)
+    return _afb_atrous_matrix(rh0, rh1, mode, d, n)
 
 
 def _sfb_atrous_T(g0, g1, mode, d, n):
-    from pytorch_wavelets_tpu.ops import banded
     from pytorch_wavelets_tpu.ops.afb_sfb import _sfb_atrous_matrix
-    ns = max(256, 4 * len(g0) * d)
-    if n <= max(_EXT_MIN, ns):
-        return _sfb_atrous_matrix(g0, g1, mode, d, n)
-    return banded.extend_wrap_operator(
-        _sfb_atrous_matrix(g0, g1, mode, d, ns), n, 1, 2)
+    return _sfb_atrous_matrix(g0, g1, mode, d, n)
 
 
 # --------------------------------------------------------------------------
