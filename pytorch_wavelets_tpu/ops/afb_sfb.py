@@ -376,7 +376,7 @@ def _afb2d_corr(x, h0c, h1c, h0r, h1r, mode):
     N, C = x.shape[:2]
     from pytorch_wavelets_tpu.ops import banded
     H, W = x.shape[2], x.shape[3]
-    if banded.matmul_enabled(H) and banded.matmul_enabled(W):
+    if banded.matmul_op_enabled(H) and banded.matmul_op_enabled(W):
         # fused 2-dot level: both filter pairs stacked inside the operator
         # matrices, so the four bands come out as quadrants of one matmul
         # chain (no interleave/moveaxis passes)
@@ -408,7 +408,7 @@ def sfb2d(ll, lh, hl, hh, g0_col, g1_col, g0_row, g1_row, mode="zero"):
 def _sfb2d_conv(ll, lh, hl, hh, g0c, g1c, g0r, g1r, mode):
     from pytorch_wavelets_tpu.ops import banded
     Hp, Wp = ll.shape[2], ll.shape[3]
-    if (banded.matmul_enabled(2 * Hp) and banded.matmul_enabled(2 * Wp)
+    if (banded.matmul_op_enabled(2 * Hp) and banded.matmul_op_enabled(2 * Wp)
             and lh.shape == ll.shape == hl.shape == hh.shape):
         # fused 2-dot merge: quadrant-concat the bands, then one column
         # and one row operator matmul reconstruct in a single chain
@@ -433,7 +433,7 @@ def afb2d_atrous(x, h0_col, h1_col, h0_row, h1_row, mode="periodization",
     N, C = x.shape[:2]
     from pytorch_wavelets_tpu.ops import banded
     H, W = x.shape[2], x.shape[3]
-    if banded.matmul_enabled(H) and banded.matmul_enabled(W):
+    if banded.matmul_op_enabled(H) and banded.matmul_op_enabled(W):
         Tr = _afb_atrous_matrix(tuple(h0r), tuple(h1r), mode, dilation, W)
         Tc = _afb_atrous_matrix(tuple(h0c), tuple(h1c), mode, dilation, H)
         y = banded.apply_col(banded.apply_row(x, Tr), Tc)   # (N,C,2H,2W)
@@ -456,7 +456,7 @@ def sfb2d_atrous(coeffs, g0_col, g1_col, g0_row, g1_row,
     ll, lh, hl, hh = (coeffs[:, :, i] for i in range(4))
     from pytorch_wavelets_tpu.ops import banded
     Hp, Wp = ll.shape[2], ll.shape[3]
-    if banded.matmul_enabled(2 * Hp) and banded.matmul_enabled(2 * Wp):
+    if banded.matmul_op_enabled(2 * Hp) and banded.matmul_op_enabled(2 * Wp):
         Sc = _sfb_atrous_matrix(tuple(g0c), tuple(g1c), mode, dilation, Hp)
         Sr = _sfb_atrous_matrix(tuple(g0r), tuple(g1r), mode, dilation, Wp)
         q = jnp.concatenate([

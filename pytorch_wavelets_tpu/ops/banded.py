@@ -34,14 +34,31 @@ __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
            "matmul_requested", "extend_wrap_operator", "extend_operator",
            "MAX_MATMUL_N"]
 
-# Above this axis length the COMPOSED/fused planners fall back to the
-# per-level path: cross-level composition multiplies dense O(n^2)
-# operator matrices on the host, which becomes the cost driver.  The cap
-# must comfortably exceed 2x the largest intended composed-image axis:
-# synthesis merges check matmul_enabled(2n), and symmetric-mode level
-# sizes run a few samples over the power of two (e.g. 4096 -> lo/hi of
-# 2051 -> merge operator over 4102).
+# Above this axis length the COMPOSED planners fall back to the
+# per-level operator path.  Measured (round 2): raising this to 17000 and
+# sparse-composing made 8192-wide DTCWT run the composed pyramid at
+# 832 Mpix/s — IDENTICAL to the per-level path (both at the HBM
+# roofline), while the composed plan holds multi-GB dense matrices on the
+# host.  So the cap stays at the value where composition still wins, and
+# giant axes ride the (equally fast there) per-level extension path.
+# The cap must comfortably exceed 2x the largest intended composed-image
+# axis: synthesis merges check matmul_enabled(2n), and symmetric-mode
+# level sizes run a few samples over the power of two (e.g. 4096 ->
+# lo/hi of 2051 -> merge operator over 4102).
 MAX_MATMUL_N = 8832
+
+
+def compose(A, B):
+    """Host-side operator composition A @ B, sparse above a size
+    threshold: composed filterbank operators are banded, so the dense
+    product wastes O(n^3) host FLOPs where the sparse product costs
+    O(n * band^2).  Returns a dense ndarray (downstream band planning and
+    slicing want dense)."""
+    if A.shape[1] >= 2048 or B.shape[1] >= 2048:
+        from scipy import sparse
+        out = (sparse.csr_matrix(A) @ sparse.csr_matrix(B)).toarray()
+        return np.ascontiguousarray(out)
+    return A @ B
 
 # PER-LEVEL operators keep the matmul path far beyond that: above
 # DIRECT_PROBE_N their matrices are synthesized from a small verified

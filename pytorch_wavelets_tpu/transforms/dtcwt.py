@@ -29,7 +29,7 @@ def _fused_analysis_j1(x, h0, h1, h2, o_dim, mode):
     bandpass-diagonal variant).  Returns None if not applicable."""
     from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
     H, W = x.shape[2], x.shape[3]
-    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+    if not (banded.matmul_op_enabled(H) and banded.matmul_op_enabled(W)):
         return None
     k0, k1 = _taps_key(h0), _taps_key(h1)
     Cl, Ch = _filter_matrix(k0, mode, H), _filter_matrix(k1, mode, H)
@@ -53,7 +53,7 @@ def _fused_analysis_j2(x, h0a, h1a, h0b, h1b, h2a, h2b, o_dim, mode):
     H, W = x.shape[2], x.shape[3]
     if H % 4 or W % 4:
         return None
-    if not (banded.matmul_enabled(H) and banded.matmul_enabled(W)):
+    if not (banded.matmul_op_enabled(H) and banded.matmul_op_enabled(W)):
         return None
     kl = (_taps_key(h0b), _taps_key(h0a))
     kh = (_taps_key(h1b), _taps_key(h1a))
@@ -73,7 +73,8 @@ def _fused_synthesis_j1(ll, highr, highi, g0, g1, g2, o_dim, h_dim, w_dim,
                         mode):
     from pytorch_wavelets_tpu.ops import banded, fused_dtcwt
     hh, ww = highr.shape[h_dim], highr.shape[w_dim]
-    if not (banded.matmul_enabled(2 * hh) and banded.matmul_enabled(2 * ww)):
+    if not (banded.matmul_op_enabled(2 * hh)
+            and banded.matmul_op_enabled(2 * ww)):
         return None
     k0, k1 = _taps_key(g0), _taps_key(g1)
     C0, C1 = _filter_matrix(k0, mode, 2 * hh), _filter_matrix(k1, mode,
@@ -101,7 +102,8 @@ def _fused_synthesis_j2(ll, highr, highi, g0a, g1a, g0b, g1b, g2a, g2b,
     if mode != "symmetric":
         return None
     hh, ww = highr.shape[h_dim], highr.shape[w_dim]
-    if not (banded.matmul_enabled(2 * hh) and banded.matmul_enabled(2 * ww)):
+    if not (banded.matmul_op_enabled(2 * hh)
+            and banded.matmul_op_enabled(2 * ww)):
         return None
     kl = (_taps_key(g0b), _taps_key(g0a))
     kh = (_taps_key(g1b), _taps_key(g1a))
@@ -688,7 +690,9 @@ def _pad4_matrix(n):
 
 
 def _compose(A, chain):
-    return A if chain is None else np.ascontiguousarray(A @ chain)
+    from pytorch_wavelets_tpu.ops import banded
+    return A if chain is None else np.ascontiguousarray(
+        banded.compose(A, chain))
 
 
 @_budgeted_plan_cache   # entries hold O(n^2) composed operator matrices
@@ -826,16 +830,17 @@ def _inv_pyramid_plan(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw, highs_hw):
             R1 = _ifilt_matrix(*kh[0], kh[1], nw)
         R0_c, R1_c = _compose(R0.T, None if pre_w is None else pre_w.T).T, \
             _compose(R1.T, None if pre_w is None else pre_w.T).T
-        C0_c = pre_h @ C0 if pre_h is not None else C0
-        C1_c = pre_h @ C1 if pre_h is not None else C1
+        from pytorch_wavelets_tpu.ops import banded as _bd
+        C0_c = _bd.compose(pre_h, C0) if pre_h is not None else C0
+        C1_c = _bd.compose(pre_h, C1) if pre_h is not None else C1
         lev = None
         if highs_hw[j] is not None:
             lev = {"bands": [("lh", (R0_c, C1_c)), ("hl", (R1_c, C0_c)),
                              ("hh", (R1_c, C1_c))]}
         levels.append(lev)
         # extend prefix through this level's lowpass branch + next crop
-        step_h = C0_c if Ks_h[j] is None else C0_c @ Ks_h[j]
-        step_w = R0_c if Ks_w[j] is None else R0_c @ Ks_w[j]
+        step_h = C0_c if Ks_h[j] is None else _bd.compose(C0_c, Ks_h[j])
+        step_w = R0_c if Ks_w[j] is None else _bd.compose(R0_c, Ks_w[j])
         pre_h, pre_w = step_h, step_w
     ll_spec = (pre_w, pre_h) if yl_hw is not None else None
     return tuple(levels), ll_spec, (out_h, out_w)

@@ -53,7 +53,7 @@ def avg_pool2(x):
     from pytorch_wavelets_tpu.ops import banded
     from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
     *lead, H, W = x.shape
-    if H % 2 == 0 and W % 2 == 0 and banded.matmul_enabled(max(H, W)):
+    if H % 2 == 0 and W % 2 == 0 and banded.matmul_op_enabled(max(H, W)):
         Ph = jnp.asarray(_pool_matrix(H), x.dtype)
         Pw = jnp.asarray(_pool_matrix(W), x.dtype)
         y = jnp.einsum("mh,...hw->...mw", Ph, x,
@@ -212,11 +212,12 @@ def scat_layer_j2(x, filters, mode="symmetric", magbias=1e-2,
 # --------------------------------------------------------------------------
 
 def _pool_compose(spec):
+    from pytorch_wavelets_tpu.ops import banded
     R, C = spec
     if R.shape[0] % 2 or C.shape[0] % 2:
         return None
-    Rp = np.ascontiguousarray(_pool_matrix(R.shape[0]) @ R)
-    Cp = np.ascontiguousarray(_pool_matrix(C.shape[0]) @ C)
+    Rp = np.ascontiguousarray(banded.compose(_pool_matrix(R.shape[0]), R))
+    Cp = np.ascontiguousarray(banded.compose(_pool_matrix(C.shape[0]), C))
     return (Rp, Cp)
 
 

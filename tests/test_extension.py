@@ -110,7 +110,7 @@ def test_single_device_dwt_beyond_cap(force_matmul, mode):
     """The single-device matmul path now extends past MAX_MATMUL_N via
     synthesized operators (conv fallback there is pathological on TPU)."""
     W = 12288
-    assert W > banded.MAX_MATMUL_N
+    assert W > banded.DIRECT_PROBE_N   # matrices must be synthesized
     x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 16, W)
                     .astype(np.float32))
     yl, yh = dwt2d(x, "db3", J=2, mode=mode)
@@ -127,8 +127,9 @@ def test_single_device_dwt_beyond_cap(force_matmul, mode):
 
 
 def test_single_device_dtcwt_beyond_cap(force_matmul):
-    """DTCWT past the composed-pyramid cap runs per-level operator
-    matmuls with synthesized matrices."""
+    """DTCWT past DIRECT_PROBE_N runs on synthesized operator matrices
+    (sparse-composed pyramid up to MAX_MATMUL_N, per-level ops past
+    it)."""
     x = jnp.asarray(np.random.RandomState(1).randn(1, 1, 16, 12288)
                     .astype(np.float32))
     f = tw.DTCWTForward(J=2)

@@ -291,7 +291,7 @@ def test_mm_dwt_beyond_matmul_cap(mesh, force_matmul):
     # H=16 keeps the coarse level >= the filter support (PR holds; the
     # reference's long-filter periodization single-fold is lossy below)
     W = 12288
-    assert W > banded.MAX_MATMUL_N
+    assert W > banded.DIRECT_PROBE_N   # operators must be synthesized
     x = jnp.asarray(_rand((4, 1, 16, W), seed=11))
     yl_s, yh_s = sharded_dwt2d(x, mesh, wave="db3", J=2)
     yl, yh = dwt2d(x, "db3", J=2, mode="periodization")
