@@ -286,44 +286,94 @@ def swt2d(x, wave="db1", J=1, mode="periodization"):
     return coeffs
 
 
+# Runtime on a v5e chip the pinv-MATMUL merge beats the FFT merge ~2.5x
+# at every measured size (256: 1564 vs 569 Mpix/s e2e; 1024: 707 vs 278;
+# 2048: 1055 vs 389 — TPU FFTs are slow), but building the dense pinv is
+# an O(n^3) host SVD that explodes past a few thousand samples.  So the
+# merge picks per axis: pinv matmul up to this length, FFT least-squares
+# beyond it (circular modes only — non-circular operators aren't
+# diagonalized by the DFT and always use the pinv).
+_ISWT_PINV_MAX_N = 2048
+
+
 def iswt2d(coeffs, wave="db1", mode="periodization"):
     """Inverse SWT: exact inverse of :func:`swt2d` for every boundary mode.
 
-    The undecimated analysis along one axis is a tall (2n x n) operator
-    matrix T = [T_lo; T_hi]; its Moore-Penrose pseudo-inverse (built once at
-    trace time from the probed analysis matrices) reconstructs exactly for
-    any mode, including the non-periodic ones where the classic
-    shift-averaged ISWT is only boundary-approximate.  (The reference ships
-    only dead code for the inverse SWT — dwt/swt_inverse.py has no
-    imports.)
+    The undecimated analysis along one axis is a tall (2n x n) operator;
+    its least-squares left inverse is applied per axis — as a
+    trace-time-pseudo-inverted operator matmul (fast path), or for
+    circular modes on long axes as device FFTs
+    (Z = (conj(F0) Y_lo + conj(F1) Y_hi) / (|F0|^2 + |F1|^2), see
+    _ISWT_PINV_MAX_N) — exact where the classic shift-averaged ISWT is
+    only boundary-approximate.  (The reference ships only dead code for
+    the inverse SWT — dwt/swt_inverse.py has no imports.)
 
     ``wave`` must resolve to the *analysis* filters used by swt2d.
     """
     import jax
-    from pytorch_wavelets_tpu.ops import banded
     h0c, h1c, h0r, h1r = dec_filters(wave)
-    rh0c, rh1c = _tup(_rev(h0c)), _tup(_rev(h1c))
-    rh0r, rh1r = _tup(_rev(h0r)), _tup(_rev(h1r))
+    tc = (_tup(_rev(h0c)), _tup(_rev(h1c)))
+    tr = (_tup(_rev(h0r)), _tup(_rev(h1r)))
+    circular = mode in ("per", "periodization", "periodic")
     x64 = bool(jax.config.jax_enable_x64)
     J = len(coeffs)
     ll = coeffs[-1][:, :, 0]
     for j in range(J - 1, -1, -1):
         y = coeffs[j]
-        N, C, _, H, W = y.shape
-        Tc_inv = _iswt_pinv(rh0c, rh1c, mode, 2 ** j, H, x64)
-        Tr_inv = _iswt_pinv(rh0r, rh1r, mode, 2 ** j, W, x64)
-        bands = jnp.concatenate([ll[:, :, None], y[:, :, 1:]], axis=2)
-        # undo the column (H) pass per row-branch: [ll;lh] -> lo_r,
-        # [hl;hh] -> hi_r
-        lo_r = banded.apply_col(
-            jnp.concatenate([bands[:, :, 0], bands[:, :, 1]], axis=2),
-            Tc_inv)
-        hi_r = banded.apply_col(
-            jnp.concatenate([bands[:, :, 2], bands[:, :, 3]], axis=2),
-            Tc_inv)
-        # undo the row (W) pass
-        ll = banded.apply_row(jnp.concatenate([lo_r, hi_r], axis=3), Tr_inv)
+        d = 2 ** j
+        lo_r = _ls_merge(ll, y[:, :, 1], tc, d, 2, circular, mode, x64)
+        hi_r = _ls_merge(y[:, :, 2], y[:, :, 3], tc, d, 2, circular, mode,
+                         x64)
+        ll = _ls_merge(lo_r, hi_r, tr, d, 3, circular, mode, x64)
     return ll
+
+
+def _ls_merge(lo, hi, taps, dilation, axis, circular, mode, x64):
+    """Least-squares two-band merge along one axis (see iswt2d)."""
+    from pytorch_wavelets_tpu.ops import banded
+    n = lo.shape[axis]
+    if circular and n > _ISWT_PINV_MAX_N:
+        return _fft_ls_merge(
+            lo, hi, _iswt_fft_filters(taps[0], taps[1], dilation, n), axis)
+    T_inv = _iswt_pinv(taps[0], taps[1], mode, dilation, n, x64)
+    x = jnp.concatenate([lo, hi], axis=axis)
+    return (banded.apply_col(x, T_inv) if axis == 2
+            else banded.apply_row(x, T_inv))
+
+
+def _atrous_impulse_response(taps, dilation, n):
+    """First column of the circulant a trous analysis operator at length
+    ``n`` (matches ops.afb_sfb._afb1d_atrous_corr_conv with a circular
+    pad: y[m] = sum_j taps[j] x[(m - (L2 - d) + j d) mod n])."""
+    taps = np.asarray(taps, dtype=np.float64)
+    L = len(taps)
+    L2 = (L * dilation) // 2
+    col = np.zeros(n)
+    for j, t in enumerate(taps):
+        col[(L2 - dilation - j * dilation) % n] += t
+    return col
+
+
+@lru_cache(maxsize=None)
+def _iswt_fft_filters(rh0, rh1, dilation, n):
+    """(conj(F0) / (|F0|^2 + |F1|^2), same for F1) at length ``n``,
+    kept in complex128 and cast to the input precision at use."""
+    F0 = np.fft.fft(_atrous_impulse_response(rh0, dilation, n))
+    F1 = np.fft.fft(_atrous_impulse_response(rh1, dilation, n))
+    inv_denom = 1.0 / (np.abs(F0) ** 2 + np.abs(F1) ** 2)
+    return np.conj(F0) * inv_denom, np.conj(F1) * inv_denom
+
+
+def _fft_ls_merge(lo, hi, filt, axis):
+    """Least-squares merge of a circulant two-band split along ``axis``."""
+    cdt = jnp.complex128 if lo.dtype == jnp.float64 else jnp.complex64
+    shape = [1] * lo.ndim
+    shape[axis] = -1
+    G0 = jnp.asarray(filt[0], dtype=cdt).reshape(shape)
+    G1 = jnp.asarray(filt[1], dtype=cdt).reshape(shape)
+    z = (G0 * jnp.fft.fft(lo, axis=axis) +
+         G1 * jnp.fft.fft(hi, axis=axis))
+    return jnp.fft.ifft(z, axis=axis).real.astype(lo.dtype)
 
 
 @lru_cache(maxsize=None)

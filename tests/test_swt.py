@@ -78,6 +78,20 @@ def test_iswt_roundtrip_float64(mode):
             jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.parametrize("mode", ["periodic", "periodization"])
+def test_iswt_fft_branch_long_axis(mode):
+    """Axes past _ISWT_PINV_MAX_N take the FFT least-squares merge
+    (circular modes) — exercised here with a wide thin image so the W
+    merge is FFT and the H merges stay on the pinv matmul path."""
+    from pytorch_wavelets_tpu.transforms.dwt import _ISWT_PINV_MAX_N
+    W = 2 * _ISWT_PINV_MAX_N
+    x = jnp.asarray(np.random.RandomState(9).randn(1, 2, 32, W)
+                    .astype(np.float32))
+    c = swt2d(x, "db3", J=2, mode=mode)
+    rec = iswt2d(c, "db3", mode=mode)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=5e-4)
+
+
 def test_swt_shapes():
     x = jnp.asarray(_rand((1, 2, 32, 32)))
     ys = tw.SWTForward(J=3, wave="db2")(x)
