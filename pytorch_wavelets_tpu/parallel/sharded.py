@@ -40,7 +40,8 @@ from pytorch_wavelets_tpu.transforms.dwt import dec_filters, rec_filters
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
 from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
 
-__all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_swt2d",
+__all__ = ["sharded_dwt2d", "sharded_idwt2d", "sharded_dwt1d",
+           "sharded_idwt1d", "sharded_swt2d",
            "sharded_iswt2d", "sharded_dtcwt2d", "sharded_idtcwt2d",
            "sharded_scat_j2"]
 
@@ -459,6 +460,68 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
     fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
                    out_specs=spec_l)
     return fn(yl, yh)
+
+
+def sharded_dwt1d(x, mesh, wave="db4", J=3):
+    """J-level periodization-mode 1-D DWT of an (N, C, L) array, N over
+    'data' and L over 'spatial' (operator-matmul path with per-level
+    shard/gather strategies — CPU requires
+    ``banded.set_operator_matmul(True)``).  Returns (x0, [highs])
+    finest-first like transforms.dwt.dwt1d."""
+    h0, h1 = dec_filters(wave)[:2]
+    n_sp = mesh.shape["spatial"]
+    L = x.shape[-1]
+    if L % (n_sp * 2 ** J):
+        raise ValueError("L must divide evenly across spatial shards for "
+                         f"J={J}")
+    if not _sharded_mm_wanted(L):
+        raise ValueError("sharded_dwt1d requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    rt = (tuple(np.asarray(h0)[::-1]), tuple(np.asarray(h1)[::-1]))
+    strats = _dwt_split_strategies(rt, "periodization", L, n_sp, J)
+
+    def local(xl):
+        hs = []
+        lo = xl[:, :, None]                        # (N, C, 1, L)
+        for j in range(J):
+            y = _apply_split(lo, strats[j], 3, "spatial", n_sp)
+            lo = y[:, :, 0]
+            hs.append(y[:, :, 1][:, :, 0])
+        return lo[:, :, 0], hs
+
+    spec = P("data", None, "spatial")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,),
+                   out_specs=(spec, [spec] * J))
+    return fn(x)
+
+
+def sharded_idwt1d(coeffs, mesh, wave="db4"):
+    """Inverse of :func:`sharded_dwt1d`."""
+    g0, g1 = rec_filters(wave)[:2]
+    x0, highs = coeffs
+    J = len(highs)
+    n_sp = mesh.shape["spatial"]
+    L_out = x0.shape[-1] * 2 ** J
+    if not _sharded_mm_wanted(L_out):
+        raise ValueError("sharded_idwt1d requires the operator-matmul "
+                         "path; on CPU force it with "
+                         "banded.set_operator_matmul(True)")
+    gt = (tuple(np.asarray(g0).ravel()), tuple(np.asarray(g1).ravel()))
+    strats = _dwt_merge_strategies(
+        gt, tuple(L_out // 2 ** (j + 1) for j in range(J)), n_sp)
+
+    def local(lo, hs):
+        for j, h in enumerate(hs[::-1]):
+            lev = J - 1 - j
+            lo = _apply_merge(lo[:, :, None], h[:, :, None], strats[lev],
+                              3, "spatial", n_sp)[:, :, 0]
+        return lo
+
+    spec = P("data", None, "spatial")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, [spec] * J),
+                   out_specs=spec)
+    return fn(x0, list(highs))
 
 
 # --------------------------------------------------------------------------

@@ -74,6 +74,19 @@ def test_mm_idwt_roundtrip(mesh, force_matmul, wave):
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
 
 
+def test_mm_dwt1d_matches_single_device(mesh, force_matmul):
+    from pytorch_wavelets_tpu.parallel import sharded_dwt1d, sharded_idwt1d
+    from pytorch_wavelets_tpu.transforms.dwt import dwt1d
+    x = jnp.asarray(_rand((8, 3, 256), seed=40))
+    x0_s, hs_s = sharded_dwt1d(x, mesh, wave="db3", J=3)
+    x0, hs = dwt1d(x, "db3", J=3, mode="periodization")
+    np.testing.assert_allclose(np.asarray(x0_s), np.asarray(x0), atol=2e-5)
+    for a, b in zip(hs_s, hs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    rec = sharded_idwt1d((x0_s, hs_s), mesh, wave="db3")
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
 @pytest.mark.parametrize("wave", ["db2", "db3"])
 def test_mm_swt_matches_single_device(mesh, force_matmul, wave):
     x = jnp.asarray(_rand((4, 2, 32, 64), seed=2))
