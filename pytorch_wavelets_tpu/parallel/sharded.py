@@ -608,13 +608,13 @@ def _sharded_pyramid(xl, o_dim, op_w, s2, n_sp, n_h):
 
 
 @_plan_cached
-def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W,
-                           n_sp, n_h):
+def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs,
+                           mode, H, W, n_sp, n_h):
     """(stage-1 ShardedOp, stage-2 strategies) for the composed forward
     pyramid, or None."""
     from pytorch_wavelets_tpu.transforms.dtcwt import _fwd_pyramid_plan
     plan = _fwd_pyramid_plan(h0o, h1o, h0a, h1a, h0b, h1b, J,
-                             (False,) * J, (False,) * J, mode, H, W)
+                             skips, incs, mode, H, W)
     if plan is None:
         return None
     op = _pyramid_shard_op(plan, W, n_sp)
@@ -624,12 +624,17 @@ def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W,
     return op, s2
 
 
-def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
+def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps=False,
+                            include_scale=False):
     """Composed whole-pyramid DTCWT forward under spatial sharding (1-D W
     or 2-D HxW tiling): one sharded stage-1 apply (halo ppermute +
     per-shard operator chunk), then sharded/local stage-2 column ops.
     None signals fallback to GSPMD."""
     from pytorch_wavelets_tpu.transforms.dtcwt import get_dimensions5
+    if not isinstance(skip_hps, (list, tuple)):
+        skip_hps = [skip_hps] * J
+    if not isinstance(include_scale, (list, tuple)):
+        include_scale = [include_scale] * J
     H, W = x.shape[2], x.shape[3]
     if H % 2 or W % 2 or J == 0:
         return None
@@ -640,7 +645,8 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
         return None
     plans = _dtcwt_fwd_shard_plans(
         filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
-        filters["h0b"], filters["h1b"], J, mode, H, W, n_sp, n_h)
+        filters["h0b"], filters["h1b"], J, tuple(skip_hps),
+        tuple(include_scale), mode, H, W, n_sp, n_h)
     if plans is None:
         return None
     op, s2 = plans
@@ -648,14 +654,24 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode):
 
     def local(xl):
         lls, highs = _sharded_pyramid(xl, od, op, s2, n_sp, n_h)
-        yh = [jnp.stack(h, axis=rd) for h in highs]
+        yh = [jnp.stack(h, axis=rd) if h is not None else None
+              for h in highs]
+        if True in include_scale:
+            scales = [lls[j] if include_scale[j] else None
+                      for j in range(J)]
+            return scales, yh
         return lls[-1], yh
 
     hx = "spatial_h" if n_h > 1 else None
-    spec_in = P("data", None, hx, "spatial")
-    spec_out = (P("data", None, hx, "spatial"),
-                [P("data", None, None, hx, "spatial", None)] * J)
-    fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+    sp4 = P("data", None, hx, "spatial")
+    sp6 = P("data", None, None, hx, "spatial", None)
+    yh_specs = [sp6 if not skip_hps[j] else None for j in range(J)]
+    if True in include_scale:
+        spec_out = ([sp4 if include_scale[j] else None for j in range(J)],
+                    yh_specs)
+    else:
+        spec_out = (sp4, yh_specs)
+    fn = shard_map(local, mesh=mesh, in_specs=(sp4,),
                    out_specs=spec_out)
     return fn(x)
 
@@ -854,14 +870,19 @@ def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
 # GSPMD-partitioned paths (fallback: any transform / mode)
 # --------------------------------------------------------------------------
 
-def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
-    """DTCWT forward with batch sharded over 'data' and W over 'spatial'.
+def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
+                    skip_hps=False, include_scale=False):
+    """DTCWT forward with batch sharded over 'data' and W over 'spatial'
+    (and H over 'spatial_h' on 2-D meshes).
 
     On the matmul fast path this runs the composed pyramid as explicit
     halo'd per-shard operator chunks (no full-axis all-gather — pinned by
     tests/test_parallel.py HLO assertions); otherwise XLA's SPMD
-    partitioner inserts the halo exchanges for the conv path."""
-    out = _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode)
+    partitioner inserts the halo exchanges for the conv path.
+    ``skip_hps`` / ``include_scale`` follow the single-device
+    DTCWTForward semantics."""
+    out = _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps,
+                                  include_scale)
     if out is not None:
         return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
@@ -871,7 +892,8 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric"):
     @partial(jax.jit,
              out_shardings=None)
     def run(z):
-        return dtcwt2d(z, filters, J=J, mode=mode)
+        return dtcwt2d(z, filters, J=J, mode=mode, skip_hps=skip_hps,
+                       include_scale=include_scale)
 
     return run(xs)
 

@@ -118,6 +118,34 @@ def test_mm_dtcwt_matches_single_device(mesh, force_matmul, J):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_mm_dtcwt_skip_hps_include_scale(mesh, mesh2d, force_matmul):
+    """skip_hps / include_scale follow the single-device semantics on the
+    sharded composed pyramid (both mesh shapes)."""
+    x = jnp.asarray(_rand((4, 2, 64, 64), seed=41))
+    filters = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    for m in (mesh, mesh2d):
+        out = _sharded_dtcwt2d_matmul(x, m, filters, 3, "symmetric",
+                                      [True, False, False], False)
+        assert out is not None
+        yl, yh = dtcwt2d(x, filters, J=3, skip_hps=[True, False, False])
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(yl),
+                                   atol=2e-5)
+        assert out[1][0] is None and yh[0] is None
+        for a, b in zip(out[1][1:], yh[1:]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+        out2 = _sharded_dtcwt2d_matmul(x, m, filters, 2, "symmetric",
+                                       False, True)
+        assert out2 is not None
+        sc, yh2 = dtcwt2d(x, filters, J=2, include_scale=True)
+        for a, b in zip(out2[0], sc):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+        for a, b in zip(out2[1], yh2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+
 def test_mm_dtcwt_public_dispatch(mesh, force_matmul):
     """sharded_dtcwt2d picks the matmul path automatically."""
     x = jnp.asarray(_rand((8, 2, 64, 64), seed=5))
