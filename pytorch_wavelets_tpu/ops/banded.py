@@ -31,8 +31,10 @@ from jax import lax
 from pytorch_wavelets_tpu.ops.precision import get_matmul_precision
 
 __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
-           "matmul_requested", "extend_wrap_operator", "extend_operator",
-           "MAX_MATMUL_N"]
+           "matmul_op_enabled", "matmul_requested", "compose",
+           "extend_wrap_operator", "extend_operator",
+           "synthesized_or_probe",
+           "MAX_MATMUL_N", "MAX_OP_MATMUL_N", "DIRECT_PROBE_N"]
 
 # Above this axis length the COMPOSED planners fall back to the
 # per-level operator path.  Measured (round 2): raising this to 17000 and
@@ -42,9 +44,12 @@ __all__ = ["apply_col", "apply_row", "probe_op", "matmul_enabled",
 # host.  So the cap stays at the value where composition still wins, and
 # giant axes ride the (equally fast there) per-level extension path.
 # The cap must comfortably exceed 2x the largest intended composed-image
-# axis: synthesis merges check matmul_enabled(2n), and symmetric-mode
-# level sizes run a few samples over the power of two (e.g. 4096 ->
-# lo/hi of 2051 -> merge operator over 4102).
+# axis: the composed INVERSE gate checks matmul_enabled(2*d) per band
+# corner size (transforms/dtcwt_xfm.py:_idtcwt2d_pyramid), and
+# symmetric-mode level sizes run a few samples over the power of two
+# (e.g. 4096 -> lo/hi of 2051 -> merge operator over 4102).  (Per-level
+# synthesis merges gate on matmul_op_enabled and do NOT constrain this
+# cap.)
 MAX_MATMUL_N = 8832
 
 

@@ -105,6 +105,29 @@ def force_matmul():
     banded.set_operator_matmul(None)
 
 
+def test_sparse_compose_composed_pyramid(force_matmul):
+    """Pins the scipy.sparse branch of banded.compose (operands >= 2048
+    columns): a composed-pyramid DTCWT at W=2048 builds its cross-level
+    operators through it; compared against the conv path."""
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 1, 16, 2048)
+                    .astype(np.float32))
+    f = tw.DTCWTForward(J=2)
+    yl, yh = f(x)
+    banded.set_operator_matmul(False)
+    try:
+        yl_c, yh_c = f(x)
+    finally:
+        banded.set_operator_matmul(True)
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl_c), atol=5e-5)
+    for a, b in zip(yh, yh_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    # direct parity of the sparse product against the dense product
+    rng = np.random.RandomState(0)
+    A = (rng.rand(64, 2304) < 0.01) * rng.randn(64, 2304)
+    B = (rng.rand(2304, 2048) < 0.01) * rng.randn(2304, 2048)
+    np.testing.assert_allclose(banded.compose(A, B), A @ B, atol=1e-10)
+
+
 @pytest.mark.parametrize("mode", ["symmetric", "periodization"])
 def test_single_device_dwt_beyond_cap(force_matmul, mode):
     """The single-device matmul path now extends past MAX_MATMUL_N via
