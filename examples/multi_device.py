@@ -45,6 +45,19 @@ def main():
         rec2 = sharded_idwt2d((yl2, yh2), mesh2d, wave="db4")
         print("2-D tiling reconstruction err:",
               float(jnp.abs(rec2 - x).max()))
+
+        # same thing through the module API: every model class takes
+        # mesh= and delegates to the sharded functional path — including
+        # the reference's 'zero' default mode on ragged (odd) sizes via
+        # the zero-embedded operator scheme
+        import pytorch_wavelets_tpu as tw
+        xfm = tw.DWTForward(J=2, wave="db4", mode="zero", mesh=mesh)
+        ifm = tw.DWTInverse(wave="db4", mode="zero", mesh=mesh)
+        x_odd = x[:, :, :125, :251]
+        rec3 = ifm(xfm(x_odd))      # odd sizes reconstruct one sample
+        rec3 = rec3[:, :, :125, :251]   # longer (reference semantics)
+        print("module-API (mesh=, mode='zero', odd size) err:",
+              float(jnp.abs(rec3 - x_odd).max()))
     finally:
         banded.set_operator_matmul(None)
 

@@ -40,11 +40,11 @@ class DTCWTForward(StaticModule):
     (N, C, 6, H_j, W_j, 2) for the default dims.  Skipped levels give None.
     """
     _fields = ("biort", "qshift", "J", "skip_hps", "include_scale",
-               "o_dim", "ri_dim", "mode", "_filters")
+               "o_dim", "ri_dim", "mode", "_filters", "mesh")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a", J=3,
                  skip_hps=False, include_scale=False, o_dim=2, ri_dim=-1,
-                 mode="symmetric"):
+                 mode="symmetric", mesh=None):
         if o_dim % 6 == ri_dim % 6:
             raise ValueError("Orientations and real/imaginary parts must be "
                              "in different dimensions.")
@@ -58,10 +58,20 @@ class DTCWTForward(StaticModule):
         self._set("mode", mode)
         self._set("_filters",
                   _freeze_filters(dtcwt_fwd_filters(biort, qshift)))
+        self._set("mesh", mesh)
 
     def __call__(self, x):
         skip = self.skip_hps
         inc = self.include_scale
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_dtcwt2d
+            return sharded_dtcwt2d(
+                x, self.mesh, _thaw_filters(self._filters), J=self.J,
+                mode=self.mode,
+                skip_hps=list(skip) if isinstance(skip, tuple) else skip,
+                include_scale=(list(inc) if isinstance(inc, tuple)
+                               else inc),
+                o_dim=self.o_dim, ri_dim=self.ri_dim)
         return dtcwt2d(
             x, _thaw_filters(self._filters), J=self.J,
             skip_hps=list(skip) if isinstance(skip, tuple) else skip,
@@ -75,10 +85,11 @@ class DTCWTInverse(StaticModule):
 
     Call: (yl, yh) -> x.  None entries (lowpass or any bandpass) are
     treated as zeros."""
-    _fields = ("biort", "qshift", "o_dim", "ri_dim", "mode", "_filters")
+    _fields = ("biort", "qshift", "o_dim", "ri_dim", "mode", "_filters",
+               "mesh")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a", o_dim=2,
-                 ri_dim=-1, mode="symmetric"):
+                 ri_dim=-1, mode="symmetric", mesh=None):
         self._set("biort", biort if isinstance(biort, str) else "custom")
         self._set("qshift", qshift if isinstance(qshift, str) else "custom")
         self._set("o_dim", o_dim)
@@ -86,7 +97,13 @@ class DTCWTInverse(StaticModule):
         self._set("mode", mode)
         self._set("_filters",
                   _freeze_filters(dtcwt_inv_filters(biort, qshift)))
+        self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_idtcwt2d
+            return sharded_idtcwt2d(
+                coeffs, self.mesh, _thaw_filters(self._filters),
+                mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
         return idtcwt2d(coeffs, _thaw_filters(self._filters),
                         o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)

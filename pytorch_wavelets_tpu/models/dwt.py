@@ -19,14 +19,19 @@ class DWTForward(StaticModule):
     Call: x (N, C, H, W) -> (yl, yh) with yh finest-first, each entry
     (N, C, 3, H', W') ordered (LH, HL, HH).
     """
-    _fields = ("J", "mode", "_filters")
+    _fields = ("J", "mode", "_filters", "mesh")
 
-    def __init__(self, J=1, wave="db1", mode="zero"):
+    def __init__(self, J=1, wave="db1", mode="zero", mesh=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
+        self._set("mesh", mesh)
 
     def __call__(self, x):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_dwt2d
+            return sharded_dwt2d(x, self.mesh, wave=self._filters,
+                                 J=self.J, mode=self.mode)
         return dwt2d(x, self._filters, J=self.J, mode=self.mode)
 
 
@@ -35,39 +40,54 @@ class DWTInverse(StaticModule):
 
     Call: (yl, yh) -> x.  Any yh entry may be None (treated as zeros).
     """
-    _fields = ("mode", "_filters")
+    _fields = ("mode", "_filters", "mesh")
 
-    def __init__(self, wave="db1", mode="zero"):
+    def __init__(self, wave="db1", mode="zero", mesh=None):
         self._set("mode", mode)
         self._set("_filters", rec_filters(wave))
+        self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_idwt2d
+            return sharded_idwt2d(coeffs, self.mesh, wave=self._filters,
+                                  mode=self.mode)
         return idwt2d(coeffs, self._filters, mode=self.mode)
 
 
 class DWT1DForward(StaticModule):
     """J-level 1-D DWT on (N, C, L) (reference DWT1DForward,
     dwt/transform1d.py:7-59)."""
-    _fields = ("J", "mode", "_filters")
+    _fields = ("J", "mode", "_filters", "mesh")
 
-    def __init__(self, J=1, wave="db1", mode="zero"):
+    def __init__(self, J=1, wave="db1", mode="zero", mesh=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave)[:2])
+        self._set("mesh", mesh)
 
     def __call__(self, x):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_dwt1d
+            return sharded_dwt1d(x, self.mesh, wave=self._filters,
+                                 J=self.J, mode=self.mode)
         return dwt1d(x, self._filters, J=self.J, mode=self.mode)
 
 
 class DWT1DInverse(StaticModule):
     """1-D inverse DWT (reference DWT1DInverse, dwt/transform1d.py:62-115)."""
-    _fields = ("mode", "_filters")
+    _fields = ("mode", "_filters", "mesh")
 
-    def __init__(self, wave="db1", mode="zero"):
+    def __init__(self, wave="db1", mode="zero", mesh=None):
         self._set("mode", mode)
         self._set("_filters", rec_filters(wave)[:2])
+        self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_idwt1d
+            return sharded_idwt1d(coeffs, self.mesh, wave=self._filters,
+                                  mode=self.mode)
         return idwt1d(coeffs, self._filters, mode=self.mode)
 
 
@@ -77,14 +97,19 @@ class SWTForward(StaticModule):
 
     Call: x (N, C, H, W) -> list of J arrays (N, C, 4, H, W) ordered
     (LL, LH, HL, HH)."""
-    _fields = ("J", "mode", "_filters")
+    _fields = ("J", "mode", "_filters", "mesh")
 
-    def __init__(self, J=1, wave="db1", mode="periodization"):
+    def __init__(self, J=1, wave="db1", mode="periodization", mesh=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
+        self._set("mesh", mesh)
 
     def __call__(self, x):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_swt2d
+            return sharded_swt2d(x, self.mesh, wave=self._filters,
+                                 J=self.J, mode=self.mode)
         return swt2d(x, self._filters, J=self.J, mode=self.mode)
 
 
@@ -94,11 +119,16 @@ class SWTInverse(StaticModule):
     matrices.  (The reference ships only dead code for this,
     dwt/swt_inverse.py.)  ``wave`` must name the *analysis* wavelet used by
     SWTForward (tuples are interpreted as dec filters)."""
-    _fields = ("mode", "_filters")
+    _fields = ("mode", "_filters", "mesh")
 
-    def __init__(self, wave="db1", mode="periodization"):
+    def __init__(self, wave="db1", mode="periodization", mesh=None):
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
+        self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_iswt2d
+            return sharded_iswt2d(coeffs, self.mesh, wave=self._filters,
+                                  mode=self.mode)
         return iswt2d(coeffs, self._filters, mode=self.mode)

@@ -58,10 +58,11 @@ class ScatLayerj2(StaticModule):
     Call: x (N, C, H, W) -> (N, 49C, H/4, W/4) (or (N, 51, ...) when
     combine_colour)."""
     _fields = ("biort", "qshift", "mode", "magbias", "combine_colour",
-               "_filters", "_bandpass_diag")
+               "_filters", "_bandpass_diag", "mesh")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a",
-                 mode="symmetric", magbias=1e-2, combine_colour=False):
+                 mode="symmetric", magbias=1e-2, combine_colour=False,
+                 mesh=None):
         self._set("biort", biort)
         self._set("qshift", qshift)
         self._set("mode", mode)
@@ -95,8 +96,15 @@ class ScatLayerj2(StaticModule):
                        ("h1b", _tup(prep_taps(h1b))))
             self._set("_bandpass_diag", False)
         self._set("_filters", filters)
+        self._set("mesh", mesh)
 
     def __call__(self, x):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_scat_j2
+            return sharded_scat_j2(x, self.mesh, dict(self._filters),
+                                   mode=self.mode, magbias=self.magbias,
+                                   combine_colour=self.combine_colour,
+                                   bandpass_diag=self._bandpass_diag)
         return scat_layer_j2(x, dict(self._filters), mode=self.mode,
                              magbias=self.magbias,
                              combine_colour=self.combine_colour,

@@ -295,7 +295,10 @@ def extend_wrap_operator(T_small: np.ndarray, n_big: int,
 
 @lru_cache(maxsize=None)
 def _cpu_device():
-    return jax.devices("cpu")[0]
+    # local_devices, not devices: under multi-controller JAX the global
+    # device list starts with process 0's devices, and probing on a
+    # non-addressable device cannot be read back (tests/test_multihost.py)
+    return jax.local_devices(backend="cpu")[0]
 
 
 def probe_op(fn, n: int, dtype=np.float32) -> np.ndarray:

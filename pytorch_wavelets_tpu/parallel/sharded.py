@@ -37,6 +37,9 @@ from pytorch_wavelets_tpu.parallel.banded_shard import (
 )
 from pytorch_wavelets_tpu.parallel.halo import halo_exchange_1d
 from pytorch_wavelets_tpu.transforms.dwt import dec_filters, rec_filters
+from pytorch_wavelets_tpu.transforms.dtcwt import (
+    get_dimensions5, get_dimensions6,
+)
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
 from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
 
@@ -293,6 +296,96 @@ def _plan_cached(fn):
     return _budgeted_plan_cache(fn)
 
 
+def _ceil_to(n, q):
+    return -(-n // q) * q
+
+
+def _embed_blocks(T, nrb, ncb, Mp, sp):
+    """Zero-embed a logical block operator into shard-divisible storage:
+    each of the ``nrb`` row blocks (size M) / ``ncb`` column blocks
+    (size n) lands in the top-left of a (Mp, sp) storage block, zeros
+    elsewhere.  Non-wrap boundary modes fold all their mass inside the
+    logical region, so the embedded operator computes the exact logical
+    transform with zero tails — the trick that makes symmetric/zero-mode
+    and ragged (non-divisible, odd) axes shardable: outputs stay evenly
+    sharded at storage sizes and callers crop the logical prefix outside
+    the shard_map."""
+    T = np.asarray(T)
+    M, n = T.shape[0] // nrb, T.shape[1] // ncb
+    out = np.zeros((nrb * Mp, ncb * sp), T.dtype)
+    for i in range(nrb):
+        for k in range(ncb):
+            out[i * Mp:i * Mp + M, k * sp:k * sp + n] = \
+                T[i * M:(i + 1) * M, k * n:(k + 1) * n]
+    return out
+
+
+# boundary modes whose operators have no wrap-around mass (the embedded
+# zero-fill halo scheme applies); circular modes keep the wrap path
+_EMBED_MODES = ("zero", "symmetric", "reflect")
+_CIRCULAR_MODES = ("per", "periodization", "periodic")
+
+
+@_plan_cached
+def _dwt_mode_split_strategies(taps, mode, n0, n_shards, J):
+    """Per-level strategies for one axis of a non-circular-mode analysis
+    pyramid over zero-embedded operators.  Returns (strategies,
+    logical level sizes, storage level sizes); the level-0 input storage
+    is ``ceil(n0 / q) * q`` (caller zero-pads to it)."""
+    q = max(n_shards, 1)
+    n, s = n0, _ceil_to(n0, max(n_shards, 1))
+    strats, logical, storage = [], [], []
+    for _ in range(J):
+        T = np.asarray(_afb_T(taps[0], taps[1], mode, n))
+        M = T.shape[0] // 2
+        Mp = _ceil_to(M, q)
+        Te = _embed_blocks(T, 2, 1, Mp, s)
+        strats.append(_strategy(Te, n_shards, [Mp, Mp], [s], wrap=False))
+        logical.append(M)
+        storage.append(Mp)
+        n, s = M, Mp
+    return tuple(strats), tuple(logical), tuple(storage)
+
+
+@_plan_cached
+def _dwt_mode_merge_strategies(taps, mode, sizes, n_shards):
+    """Per-level strategies (fine-first, matching ``sizes``) for one axis
+    of a non-circular-mode synthesis pyramid.  Level j's embedded
+    operator crops the synthesized axis to the next finer level's band
+    length (the reference's trailing lowpass crop,
+    /root/reference/pytorch_wavelets/dwt/transform2d.py:142-145) and pads
+    rows/cols to shard-divisible storage.  Returns (strategies,
+    (final logical length, final storage length))."""
+    q = max(n_shards, 1)
+    out = []
+    final = None
+    for j, n in enumerate(sizes):
+        s_in = _ceil_to(n, q)
+        T = np.asarray(_sfb_T(taps[0], taps[1], mode, n))
+        tgt = T.shape[0] if j == 0 else min(T.shape[0], sizes[j - 1])
+        rows_p = _ceil_to(tgt, q)
+        Te = _embed_blocks(T[:tgt], 1, 2, rows_p, s_in)
+        out.append(_strategy(Te, n_shards, [rows_p], [s_in, s_in],
+                             wrap=False))
+        if j == 0:
+            final = (tgt, rows_p)
+    return tuple(out), final
+
+
+@_plan_cached
+def _swt_mode_split_strategies(taps, mode, n, n_shards, J):
+    """Undecimated analysis strategies for a non-circular mode (sizes
+    stay ``n``; storage pads ragged axes)."""
+    q = max(n_shards, 1)
+    s = _ceil_to(n, q)
+    out = []
+    for j in range(J):
+        T = np.asarray(_afb_atrous_T(taps[0], taps[1], mode, 2 ** j, n))
+        Te = _embed_blocks(T, 2, 1, s, s)
+        out.append(_strategy(Te, n_shards, [s, s], [s], wrap=False))
+    return tuple(out), s
+
+
 @_plan_cached
 def _dwt_split_strategies(taps, mode, n0, n_shards, J):
     """Per-level strategies for one axis of the analysis pyramid (odd
@@ -338,10 +431,124 @@ def _swt_merge_strategies(taps, n, n_shards, J):
     return out
 
 
-def sharded_dwt2d(x, mesh, wave="db4", J=3):
-    """J-level periodization-mode 2-D DWT, N over 'data', W over
-    'spatial' and (on a 3-axis mesh from ``make_mesh(n_spatial_h=...)``)
-    H over 'spatial_h' — full 2-D image tiling.
+def _sharded_dwt2d_mode(x, mesh, wave, J, mode):
+    """Non-circular-mode (zero/symmetric/reflect) sharded 2-D DWT over
+    zero-embedded operators: any H/W (odd and ragged included), reference
+    pywt level sizes.  The input is zero-padded to shard-divisible
+    storage outside the shard_map (embedded operators ignore the pad
+    columns), every level stays evenly sharded at storage sizes, and the
+    outputs are cropped to the logical pyramid afterwards.  Requires the
+    operator-matmul path (the boundary fold lives in the matrices)."""
+    h0c, h1c, h0r, h1r = dec_filters(wave)
+    n_h, n_sp = _mesh_sp(mesh)
+    H, W = x.shape[2], x.shape[3]
+    if not _sharded_mm_wanted(max(H, W)):
+        raise ValueError(
+            f"sharded_dwt2d mode='{mode}' requires the operator-matmul "
+            "path; on CPU force it with banded.set_operator_matmul(True)")
+    rt = (tuple(np.asarray(h0r)[::-1]), tuple(np.asarray(h1r)[::-1]))
+    ct = (tuple(np.asarray(h0c)[::-1]), tuple(np.asarray(h1c)[::-1]))
+    row_s, log_w, _ = _dwt_mode_split_strategies(rt, mode, W, n_sp, J)
+    col_s, log_h, _ = _dwt_mode_split_strategies(ct, mode, H, n_h, J)
+    pw = _ceil_to(W, n_sp) - W
+    ph = _ceil_to(H, max(n_h, 1)) - H
+    if pw or ph:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+
+    def local(xl):
+        yh = []
+        ll = xl
+        for j in range(J):
+            N, C = ll.shape[:2]
+            lohi = _apply_split(ll, row_s[j], 3, "spatial", n_sp)
+            lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
+            y = _apply_split(lohi, col_s[j], 2, "spatial_h", n_h)
+            y = y.reshape(N, C, 2, 2, *y.shape[3:])
+            y = y.reshape(N, C, 4, *y.shape[4:])
+            ll = y[:, :, 0]
+            yh.append(y[:, :, 1:])
+        return ll, yh
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec_in = P("data", None, hx, "spatial")
+    spec_out = (spec_in, [P("data", None, None, hx, "spatial")] * J)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                   out_specs=spec_out)
+    yl, yh = fn(x)
+    yl = yl[:, :, :log_h[-1], :log_w[-1]]
+    yh = [h[:, :, :, :log_h[j], :log_w[j]] for j, h in enumerate(yh)]
+    return yl, yh
+
+
+def _sharded_idwt2d_mode(coeffs, mesh, wave, mode):
+    """Inverse of :func:`_sharded_dwt2d_mode`: logical coefficients are
+    zero-padded to storage outside the shard_map, the embedded synthesis
+    operators (reference trailing crops composed in) run coarse->fine,
+    and the result is cropped to the logical output size."""
+    g0c, g1c, g0r, g1r = rec_filters(wave)
+    yl, yh = coeffs
+    J = len(yh)
+    n_h, n_sp = _mesh_sp(mesh)
+    ref = next(h for h in yh if h is not None)
+    sizes_w = tuple(h.shape[-1] if h is not None else None for h in yh)
+    sizes_h = tuple(h.shape[-2] if h is not None else None for h in yh)
+    if any(s is None for s in sizes_w):
+        # None levels take their sizes from the nearest finer known level
+        raise ValueError("sharded_idwt2d mode path requires concrete "
+                         "(non-None) bandpass arrays at every level")
+    if not _sharded_mm_wanted(2 * max(sizes_w[0], sizes_h[0])):
+        raise ValueError(
+            f"sharded_idwt2d mode='{mode}' requires the operator-matmul "
+            "path; on CPU force it with banded.set_operator_matmul(True)")
+    gr = (tuple(np.asarray(g0r).ravel()), tuple(np.asarray(g1r).ravel()))
+    gc = (tuple(np.asarray(g0c).ravel()), tuple(np.asarray(g1c).ravel()))
+    row_s, (out_w, _) = _dwt_mode_merge_strategies(gr, mode, sizes_w,
+                                                   n_sp)
+    col_s, (out_h, _) = _dwt_mode_merge_strategies(gc, mode, sizes_h,
+                                                   n_h)
+
+    def pad_to(a, th, tw):
+        dh, dw = th - a.shape[-2], tw - a.shape[-1]
+        if dh or dw:
+            cfg = [(0, 0)] * (a.ndim - 2) + [(0, dh), (0, dw)]
+            a = jnp.pad(a, cfg)
+        return a
+
+    q_h = max(n_h, 1)
+    # lowpass: reference crops a larger yl to the coarsest band size
+    yl = yl[:, :, :sizes_h[-1], :sizes_w[-1]]
+    yl = pad_to(yl, _ceil_to(sizes_h[-1], q_h), _ceil_to(sizes_w[-1],
+                                                         n_sp))
+    yh = [pad_to(h, _ceil_to(sizes_h[j], q_h), _ceil_to(sizes_w[j], n_sp))
+          for j, h in enumerate(yh)]
+
+    def local(ll, highs):
+        for j in range(J - 1, -1, -1):
+            h = highs[j]
+            lo = _apply_merge(ll, h[:, :, 0], col_s[j], 2, "spatial_h",
+                              n_h)
+            hi = _apply_merge(h[:, :, 1], h[:, :, 2], col_s[j], 2,
+                              "spatial_h", n_h)
+            ll = _apply_merge(lo, hi, row_s[j], 3, "spatial", n_sp)
+        return ll
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec_l = P("data", None, hx, "spatial")
+    spec_h = [P("data", None, None, hx, "spatial")] * J
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
+                   out_specs=spec_l)
+    return fn(yl, yh)[:, :, :out_h, :out_w]
+
+
+def sharded_dwt2d(x, mesh, wave="db4", J=3, mode="periodization"):
+    """J-level 2-D DWT, N over 'data', W over 'spatial' and (on a 3-axis
+    mesh from ``make_mesh(n_spatial_h=...)``) H over 'spatial_h' — full
+    2-D image tiling.
+
+    ``mode``: 'periodization' (wrap halos; sharded axes must divide by
+    n_shards * 2**J) or 'zero' / 'symmetric' / 'reflect' (zero-embedded
+    operators, any size incl. odd/ragged — reference DWT default is
+    'zero', /root/reference/pytorch_wavelets/dwt/transform2d.py:20).
 
     On the matmul fast path every sharded axis runs as halo'd per-shard
     banded operator chunks (parallel/banded_shard.py); when a deep
@@ -350,8 +557,12 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
     J is not limited by the tile grid.  Past banded.MAX_MATMUL_N the
     operators are synthesized from small verified probes (circulant
     extension).  Off the matmul path (CPU), the W-only conv halo path is
-    used.  Returns the same (yl, yh) pyramid as transforms.dwt.dwt2d.
-    Requires each sharded axis divisible by n_shards * 2**J."""
+    used (periodization only).  Returns the same (yl, yh) pyramid as
+    transforms.dwt.dwt2d."""
+    if mode in _EMBED_MODES:
+        return _sharded_dwt2d_mode(x, mesh, wave, J, mode)
+    if mode not in _CIRCULAR_MODES:
+        raise ValueError(f"unsupported sharded DWT mode: {mode}")
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
@@ -407,9 +618,14 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3):
     return fn(x)
 
 
-def sharded_idwt2d(coeffs, mesh, wave="db4"):
-    """Inverse of :func:`sharded_dwt2d` (periodization mode; 1-D or 2-D
-    tiling mesh, with deep-level gather-resharding like the forward)."""
+def sharded_idwt2d(coeffs, mesh, wave="db4", mode="periodization"):
+    """Inverse of :func:`sharded_dwt2d` (1-D or 2-D tiling mesh, with
+    deep-level gather-resharding like the forward; 'zero' / 'symmetric' /
+    'reflect' modes ride the zero-embedded operator path)."""
+    if mode in _EMBED_MODES:
+        return _sharded_idwt2d_mode(coeffs, mesh, wave, mode)
+    if mode not in _CIRCULAR_MODES:
+        raise ValueError(f"unsupported sharded DWT mode: {mode}")
     g0c, g1c, g0r, g1r = rec_filters(wave)
     yl, yh = coeffs
     J = len(yh)
@@ -462,24 +678,35 @@ def sharded_idwt2d(coeffs, mesh, wave="db4"):
     return fn(yl, yh)
 
 
-def sharded_dwt1d(x, mesh, wave="db4", J=3):
-    """J-level periodization-mode 1-D DWT of an (N, C, L) array, N over
-    'data' and L over 'spatial' (operator-matmul path with per-level
-    shard/gather strategies — CPU requires
-    ``banded.set_operator_matmul(True)``).  Returns (x0, [highs])
-    finest-first like transforms.dwt.dwt1d."""
+def sharded_dwt1d(x, mesh, wave="db4", J=3, mode="periodization"):
+    """J-level 1-D DWT of an (N, C, L) array, N over 'data' and L over
+    'spatial' (operator-matmul path with per-level shard/gather
+    strategies — CPU requires ``banded.set_operator_matmul(True)``).
+    'zero' / 'symmetric' / 'reflect' modes (any L, ragged included) ride
+    the zero-embedded operator path.  Returns (x0, [highs]) finest-first
+    like transforms.dwt.dwt1d."""
     h0, h1 = dec_filters(wave)[:2]
     n_sp = mesh.shape["spatial"]
     L = x.shape[-1]
-    if L % (n_sp * 2 ** J):
-        raise ValueError("L must divide evenly across spatial shards for "
-                         f"J={J}")
     if not _sharded_mm_wanted(L):
         raise ValueError("sharded_dwt1d requires the operator-matmul "
                          "path; on CPU force it with "
                          "banded.set_operator_matmul(True)")
     rt = (tuple(np.asarray(h0)[::-1]), tuple(np.asarray(h1)[::-1]))
-    strats = _dwt_split_strategies(rt, "periodization", L, n_sp, J)
+    log_l = None
+    if mode in _EMBED_MODES:
+        strats, log_l, _ = _dwt_mode_split_strategies(rt, mode, L, n_sp,
+                                                      J)
+        pad = _ceil_to(L, n_sp) - L
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    elif mode not in _CIRCULAR_MODES:
+        raise ValueError(f"unsupported sharded DWT mode: {mode}")
+    else:
+        if L % (n_sp * 2 ** J):
+            raise ValueError("L must divide evenly across spatial shards "
+                             f"for J={J}")
+        strats = _dwt_split_strategies(rt, "periodization", L, n_sp, J)
 
     def local(xl):
         hs = []
@@ -493,23 +720,47 @@ def sharded_dwt1d(x, mesh, wave="db4", J=3):
     spec = P("data", None, "spatial")
     fn = shard_map(local, mesh=mesh, in_specs=(spec,),
                    out_specs=(spec, [spec] * J))
-    return fn(x)
+    x0, hs = fn(x)
+    if log_l is not None:
+        x0 = x0[:, :, :log_l[-1]]
+        hs = [h[:, :, :log_l[j]] for j, h in enumerate(hs)]
+    return x0, hs
 
 
-def sharded_idwt1d(coeffs, mesh, wave="db4"):
+def sharded_idwt1d(coeffs, mesh, wave="db4", mode="periodization"):
     """Inverse of :func:`sharded_dwt1d`."""
     g0, g1 = rec_filters(wave)[:2]
     x0, highs = coeffs
     J = len(highs)
     n_sp = mesh.shape["spatial"]
-    L_out = x0.shape[-1] * 2 ** J
-    if not _sharded_mm_wanted(L_out):
-        raise ValueError("sharded_idwt1d requires the operator-matmul "
-                         "path; on CPU force it with "
-                         "banded.set_operator_matmul(True)")
     gt = (tuple(np.asarray(g0).ravel()), tuple(np.asarray(g1).ravel()))
-    strats = _dwt_merge_strategies(
-        gt, tuple(L_out // 2 ** (j + 1) for j in range(J)), n_sp)
+    out_crop = None
+    if mode in _EMBED_MODES:
+        sizes = tuple(h.shape[-1] for h in highs)
+        if not _sharded_mm_wanted(2 * sizes[0]):
+            raise ValueError("sharded_idwt1d requires the operator-matmul"
+                             " path; on CPU force it with "
+                             "banded.set_operator_matmul(True)")
+        strats, (out_crop, _) = _dwt_mode_merge_strategies(gt, mode,
+                                                           sizes, n_sp)
+
+        def pad1(a, t):
+            d = t - a.shape[-1]
+            return jnp.pad(a, ((0, 0), (0, 0), (0, d))) if d else a
+
+        x0 = pad1(x0[:, :, :sizes[-1]], _ceil_to(sizes[-1], n_sp))
+        highs = [pad1(h, _ceil_to(sizes[j], n_sp))
+                 for j, h in enumerate(highs)]
+    elif mode not in _CIRCULAR_MODES:
+        raise ValueError(f"unsupported sharded DWT mode: {mode}")
+    else:
+        L_out = x0.shape[-1] * 2 ** J
+        if not _sharded_mm_wanted(L_out):
+            raise ValueError("sharded_idwt1d requires the operator-matmul"
+                             " path; on CPU force it with "
+                             "banded.set_operator_matmul(True)")
+        strats = _dwt_merge_strategies(
+            gt, tuple(L_out // 2 ** (j + 1) for j in range(J)), n_sp)
 
     def local(lo, hs):
         for j, h in enumerate(hs[::-1]):
@@ -521,7 +772,8 @@ def sharded_idwt1d(coeffs, mesh, wave="db4"):
     spec = P("data", None, "spatial")
     fn = shard_map(local, mesh=mesh, in_specs=(spec, [spec] * J),
                    out_specs=spec)
-    return fn(x0, list(highs))
+    out = fn(x0, list(highs))
+    return out if out_crop is None else out[:, :, :out_crop]
 
 
 # --------------------------------------------------------------------------
@@ -607,6 +859,19 @@ def _sharded_pyramid(xl, o_dim, op_w, s2, n_sp, n_h):
     return lls, highs
 
 
+def _dtcwt_yh_spec(o_dim, ri_dim, hx):
+    """PartitionSpec of a 6-D bandpass tensor in any o_dim/ri_dim layout:
+    H over ``hx`` ('spatial_h' or None), W over 'spatial', batch over
+    'data' at whichever axis the stack insertions left it."""
+    od6, rd = o_dim % 6, ri_dim % 6
+    _, _, h6, w6 = get_dimensions6(o_dim, ri_dim)
+    spec = [None] * 6
+    spec[h6], spec[w6] = hx, "spatial"
+    rest = [i for i in range(6) if i not in (od6, rd, h6, w6)]
+    spec[rest[0]] = "data"
+    return P(*spec)
+
+
 @_plan_cached
 def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs,
                            mode, H, W, n_sp, n_h):
@@ -625,12 +890,11 @@ def _dtcwt_fwd_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, incs,
 
 
 def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps=False,
-                            include_scale=False):
+                            include_scale=False, o_dim=2, ri_dim=-1):
     """Composed whole-pyramid DTCWT forward under spatial sharding (1-D W
     or 2-D HxW tiling): one sharded stage-1 apply (halo ppermute +
     per-shard operator chunk), then sharded/local stage-2 column ops.
-    None signals fallback to GSPMD."""
-    from pytorch_wavelets_tpu.transforms.dtcwt import get_dimensions5
+    None signals fallback to the per-level sharded path / GSPMD."""
     if not isinstance(skip_hps, (list, tuple)):
         skip_hps = [skip_hps] * J
     if not isinstance(include_scale, (list, tuple)):
@@ -650,7 +914,7 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps=False,
     if plans is None:
         return None
     op, s2 = plans
-    od, rd, _, _ = get_dimensions5(2, -1)
+    od, rd, _, _ = get_dimensions5(o_dim, ri_dim)
 
     def local(xl):
         lls, highs = _sharded_pyramid(xl, od, op, s2, n_sp, n_h)
@@ -664,7 +928,7 @@ def _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps=False,
 
     hx = "spatial_h" if n_h > 1 else None
     sp4 = P("data", None, hx, "spatial")
-    sp6 = P("data", None, None, hx, "spatial", None)
+    sp6 = _dtcwt_yh_spec(o_dim, ri_dim, hx)
     yh_specs = [sp6 if not skip_hps[j] else None for j in range(J)]
     if True in include_scale:
         spec_out = ([sp4 if include_scale[j] else None for j in range(J)],
@@ -805,21 +1069,32 @@ def _dtcwt_inv_shard_plans(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw,
     return ginfo, ll_row, ll_col
 
 
-def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
+def _split_orientations(h, od5, rd):
+    """Local 6-D bandpass tensor -> orientation-first (6, N, C, h, w)
+    real/imag pair, any o_dim/ri_dim layout."""
+    hr, hi = jnp.moveaxis(h, rd, 0)
+    return jnp.moveaxis(hr, od5, 0), jnp.moveaxis(hi, od5, 0)
+
+
+def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode, o_dim=2,
+                             ri_dim=-1):
     """Composed whole-pyramid DTCWT inverse under spatial sharding (1-D W
     or 2-D HxW): per-group sharded stage-1 row applies on the c2q-combined
     band blocks, then one summed sharded stage-2 over 'spatial_h'.
-    None signals fallback to GSPMD."""
+    None signals fallback to the per-level sharded path / GSPMD."""
     from pytorch_wavelets_tpu.ops.fused_dtcwt import _SB_ORIENTS
     low, highs = coeffs
     if low is None or any(h is None or h.size == 0 for h in highs):
         return None
     n_h, n_sp = _mesh_sp(mesh)
+    od5, rd, _, _ = get_dimensions5(o_dim, ri_dim)
+    _, _, h6, w6 = get_dimensions6(o_dim, ri_dim)
     sizes = []
     for h in highs:
-        if h.ndim != 6 or h.shape[2] != 6 or h.shape[-1] != 2:
-            return None                    # default o_dim=2, ri_dim=-1 only
-        sizes.append((h.shape[3], h.shape[4]))
+        if (h.ndim != 6 or h.shape[o_dim % 6] != 6
+                or h.shape[ri_dim % 6] != 2):
+            return None
+        sizes.append((h.shape[h6], h.shape[w6]))
     yl_hw = (low.shape[2], low.shape[3])
     dims = [d for hw in sizes for d in hw] + list(yl_hw)
     if not all(_mm_enabled(2 * d) for d in dims):
@@ -835,8 +1110,7 @@ def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
     def local(ll, hs):
         y = None
         for h, lv in zip(hs, ginfo):
-            r = jnp.moveaxis(h[..., 0], 2, 0)
-            i = jnp.moveaxis(h[..., 1], 2, 0)
+            r, i = _split_orientations(h, od5, rd)
             for members, row, col in lv:
                 p1s, p2s = [], []
                 for name, _C in members:
@@ -860,7 +1134,280 @@ def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
 
     hx = "spatial_h" if n_h > 1 else None
     spec_l = P("data", None, hx, "spatial")
-    spec_h = [P("data", None, None, hx, "spatial", None)] * len(highs)
+    spec_h = [_dtcwt_yh_spec(o_dim, ri_dim, hx)] * len(highs)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
+                   out_specs=spec_l)
+    return fn(low, list(highs))
+
+
+# --------------------------------------------------------------------------
+# Per-level sharded DTCWT (giant images past the composed-pyramid cap)
+#
+# The composed pyramid planners cap at banded.MAX_MATMUL_N (composition is
+# an O(n^2)-dense host transient); per-LEVEL operator matrices synthesize
+# from small verified probes to banded.MAX_OP_MATMUL_N (extend_operator).
+# These paths run the DTCWT level by level with every level's stage-1/2
+# operators sharded through banded_shard (wrap=False: symmetric-mode
+# boundary folding lives inside the matrices, halos are zero-filled at the
+# global edge) — the one regime where spatial sharding beats batch-DP:
+# single images wider than the single-chip composed envelope (SURVEY §2.9
+# "decompose 2-D images larger than one chip").  No reference analogue.
+# --------------------------------------------------------------------------
+
+def _fwd_level_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, skips, mode, H, W):
+    """Per-level (uncomposed) forward plans: level j's operators act on
+    level j-1's lowpass, with the inter-level %4 replicate-pad selection
+    matrices composed in.  Returns a tuple of (lev_dict, (in_h, in_w))
+    or None when the filter/size combination doesn't admit the
+    parity-folded form (even-length level-1 filters)."""
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.dtcwt_fb import (
+        _dfilt_matrix, _filter_matrix,
+    )
+    from pytorch_wavelets_tpu.transforms.dtcwt import _pad4_matrix
+    out = []
+    nh, nw = H, W
+    for j in range(J):
+        in_hw = (nh, nw)
+        if j == 0:
+            Cl, Ch = (_filter_matrix(h0o, mode, nh),
+                      _filter_matrix(h1o, mode, nh))
+            Rl, Rh = (_filter_matrix(h0o, mode, nw),
+                      _filter_matrix(h1o, mode, nw))
+            if any(m.shape[0] % 2 for m in (Cl, Ch, Rl, Rh)):
+                return None
+        else:
+            Ph, Pw = _pad4_matrix(nh), _pad4_matrix(nw)
+            nhp = nh if Ph is None else nh + 2
+            nwp = nw if Pw is None else nw + 2
+            if nhp % 4 or nwp % 4:
+                return None
+            Cl, Ch = (_dfilt_matrix(h0b, h0a, False, nhp),
+                      _dfilt_matrix(h1b, h1a, True, nhp))
+            Rl, Rh = (_dfilt_matrix(h0b, h0a, False, nwp),
+                      _dfilt_matrix(h1b, h1a, True, nwp))
+            if Ph is not None:
+                Cl = np.ascontiguousarray(banded.compose(Cl, Ph))
+                Ch = np.ascontiguousarray(banded.compose(Ch, Ph))
+            if Pw is not None:
+                Rl = np.ascontiguousarray(banded.compose(Rl, Pw))
+                Rh = np.ascontiguousarray(banded.compose(Rh, Pw))
+            if Cl.shape[0] % 2 or Rl.shape[0] % 2:
+                return None
+        # lowpass is always a level output here: it feeds level j+1
+        lev = {"bands": None, "ll": (Rl, Cl)}
+        if not skips[j]:
+            lev["bands"] = [("lh", (Rl, Ch)), ("hl", (Rh, Cl)),
+                            ("hh", (Rh, Ch))]
+        out.append((lev, in_hw))
+        nh, nw = Cl.shape[0], Rl.shape[0]
+    return tuple(out)
+
+
+@_plan_cached
+def _dtcwt_fwd_perlevel_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J,
+                                    skips, mode, H, W, n_sp, n_h):
+    """Per level: (stage-1 ShardedOp over 'spatial', stage-2 strategies
+    over 'spatial_h'), or None."""
+    levels = _fwd_level_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, skips,
+                              mode, H, W)
+    if levels is None:
+        return None
+    plans = []
+    for lev, (_, in_w) in levels:
+        op = _pyramid_shard_op((lev,), in_w, n_sp)
+        s2 = _pyramid_stage2_strategies((lev,), n_h)
+        if op is None or s2 is None:
+            return None
+        plans.append((op, s2))
+    return tuple(plans)
+
+
+def _sharded_dtcwt2d_perlevel(x, mesh, filters, J, mode, skip_hps=False,
+                              include_scale=False, o_dim=2, ri_dim=-1):
+    """Per-level sharded DTCWT forward: each level one sharded stage-1
+    apply + sharded/local stage-2, lowpass intermediates staying sharded.
+    Extends the sharded matmul envelope from banded.MAX_MATMUL_N to
+    _SHARDED_MM_CAP.  None signals fallback to GSPMD."""
+    if not isinstance(skip_hps, (list, tuple)):
+        skip_hps = [skip_hps] * J
+    if not isinstance(include_scale, (list, tuple)):
+        include_scale = [include_scale] * J
+    H, W = x.shape[2], x.shape[3]
+    if H % 2 or W % 2 or J == 0:
+        return None
+    if not (_sharded_mm_wanted(H) and _sharded_mm_wanted(W)):
+        return None
+    n_h, n_sp = _mesh_sp(mesh)
+    if W % n_sp or H % max(n_h, 1):
+        return None
+    plans = _dtcwt_fwd_perlevel_shard_plans(
+        filters["h0o"], filters["h1o"], filters["h0a"], filters["h1a"],
+        filters["h0b"], filters["h1b"], J, tuple(skip_hps), mode, H, W,
+        n_sp, n_h)
+    if plans is None:
+        return None
+    od, rd, _, _ = get_dimensions5(o_dim, ri_dim)
+
+    def local(xl):
+        ll = xl
+        lls, highs = [], []
+        for op, s2 in plans:
+            ls, hs = _sharded_pyramid(ll, od, op, s2, n_sp, n_h)
+            ll = ls[0]
+            lls.append(ll)
+            highs.append(hs[0])
+        yh = [jnp.stack(h, axis=rd) if h is not None else None
+              for h in highs]
+        if True in include_scale:
+            return ([lls[j] if include_scale[j] else None
+                     for j in range(J)], yh)
+        return ll, yh
+
+    hx = "spatial_h" if n_h > 1 else None
+    sp4 = P("data", None, hx, "spatial")
+    sp6 = _dtcwt_yh_spec(o_dim, ri_dim, hx)
+    yh_specs = [sp6 if not skip_hps[j] else None for j in range(J)]
+    if True in include_scale:
+        spec_out = ([sp4 if include_scale[j] else None for j in range(J)],
+                    yh_specs)
+    else:
+        spec_out = (sp4, yh_specs)
+    fn = shard_map(local, mesh=mesh, in_specs=(sp4,),
+                   out_specs=spec_out)
+    return fn(x)
+
+
+@_plan_cached
+def _dtcwt_inv_perlevel_shard_plans(g0o, g1o, g0a, g1a, g0b, g1b, mode,
+                                    yl_hw, sizes, n_sp, n_h):
+    """Coarse-first per-level synthesis strategies: per level a list of
+    (members, row strategy, col strategy) band groups plus the lowpass
+    (row, col) strategies with the [1:-1] crop selections composed in.
+    None signals fallback."""
+    import math
+    from pytorch_wavelets_tpu.ops import banded
+    from pytorch_wavelets_tpu.ops.dtcwt_fb import (
+        _filter_matrix, _ifilt_matrix,
+    )
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _cat
+    sqrt2 = math.sqrt(2.0)
+    J = len(sizes)
+    cur_h, cur_w = yl_hw
+
+    def crop_sel(n, cur):
+        K = np.zeros((n, cur), dtype=np.float32)
+        K[np.arange(n), np.arange(1, n + 1)] = 1.0
+        return K
+
+    levels = []
+    try:
+        for j in range(J - 1, -1, -1):
+            hb, wb = sizes[j]
+            nh, nw = 2 * hb, 2 * wb
+            if cur_h not in (nh, nh + 2) or cur_w not in (nw, nw + 2):
+                return None
+            if j == 0:
+                C0, C1 = (_filter_matrix(g0o, mode, nh),
+                          _filter_matrix(g1o, mode, nh))
+                R0, R1 = (_filter_matrix(g0o, mode, nw),
+                          _filter_matrix(g1o, mode, nw))
+            else:
+                C0, C1 = (_ifilt_matrix(g0b, g0a, False, nh),
+                          _ifilt_matrix(g1b, g1a, True, nh))
+                R0, R1 = (_ifilt_matrix(g0b, g0a, False, nw),
+                          _ifilt_matrix(g1b, g1a, True, nw))
+            groups: dict = {}
+            for name, R, C in (("lh", R0, C1), ("hl", R1, C0),
+                               ("hh", R1, C1)):
+                groups.setdefault(id(R), (R, []))[1].append((name, C))
+            lv = []
+            for R, members in groups.values():
+                Rt = np.ascontiguousarray(
+                    _cat(R[:, 0::2].T, R[:, 1::2].T).T * (1.0 / sqrt2))
+                row = _strategy(Rt, n_sp, [Rt.shape[0]], [wb, wb],
+                                wrap=False)
+                cms = [np.concatenate([C[:, 0::2], C[:, 1::2]], axis=1)
+                       for _, C in members]
+                Cm = np.ascontiguousarray(np.concatenate(cms, axis=1))
+                col = _strategy(Cm, n_h, [Cm.shape[0]],
+                                [hb, hb] * len(members), wrap=False)
+                lv.append((members, row, col))
+            Rl, Cl = R0, C0
+            if cur_w == nw + 2:     # incoming lowpass two wider: [1:-1]
+                Rl = np.ascontiguousarray(
+                    banded.compose(R0, crop_sel(nw, cur_w)))
+            if cur_h == nh + 2:
+                Cl = np.ascontiguousarray(
+                    banded.compose(C0, crop_sel(nh, cur_h)))
+            ll_row = _strategy(np.ascontiguousarray(Rl), n_sp,
+                               [Rl.shape[0]], [cur_w], wrap=False)
+            ll_col = _strategy(np.ascontiguousarray(Cl), n_h,
+                               [Cl.shape[0]], [cur_h], wrap=False)
+            levels.append((lv, ll_row, ll_col))
+            cur_h, cur_w = C0.shape[0], R0.shape[0]
+    except ValueError:
+        return None
+    return tuple(levels)
+
+
+def _sharded_idtcwt2d_perlevel(coeffs, mesh, filters, mode, o_dim=2,
+                               ri_dim=-1):
+    """Per-level sharded DTCWT inverse (coarse -> fine), the synthesis
+    twin of :func:`_sharded_dtcwt2d_perlevel`.  None signals fallback to
+    GSPMD."""
+    from pytorch_wavelets_tpu.ops.fused_dtcwt import _SB_ORIENTS
+    low, highs = coeffs
+    if low is None or any(h is None or h.size == 0 for h in highs):
+        return None
+    n_h, n_sp = _mesh_sp(mesh)
+    od5, rd, _, _ = get_dimensions5(o_dim, ri_dim)
+    _, _, h6, w6 = get_dimensions6(o_dim, ri_dim)
+    sizes = []
+    for h in highs:
+        if (h.ndim != 6 or h.shape[o_dim % 6] != 6
+                or h.shape[ri_dim % 6] != 2):
+            return None
+        sizes.append((h.shape[h6], h.shape[w6]))
+    yl_hw = (low.shape[2], low.shape[3])
+    dims = [d for hw in sizes for d in hw] + list(yl_hw)
+    if not all(_sharded_mm_wanted(2 * d) for d in dims):
+        return None
+    plans = _dtcwt_inv_perlevel_shard_plans(
+        filters["g0o"], filters["g1o"], filters["g0a"], filters["g1a"],
+        filters["g0b"], filters["g1b"], mode, yl_hw, tuple(sizes), n_sp,
+        n_h)
+    if plans is None:
+        return None
+
+    def local(ll, hs):
+        for (lv, ll_row, ll_col), h in zip(plans, hs[::-1]):
+            r, i = _split_orientations(h, od5, rd)
+            y = None
+            for members, row, col in lv:
+                p1s, p2s = [], []
+                for name, _C in members:
+                    o1, o2 = _SB_ORIENTS[name]
+                    x1 = r[o1] + r[o2]
+                    x2 = i[o1] + i[o2]
+                    x3 = i[o1] - i[o2]
+                    x4 = r[o2] - r[o1]
+                    p1s.append(jnp.concatenate([x1, x3], axis=2))
+                    p2s.append(jnp.concatenate([x2, x4], axis=2))
+                p1 = (jnp.concatenate(p1s, axis=2) if len(p1s) > 1
+                      else p1s[0])
+                p2 = (jnp.concatenate(p2s, axis=2) if len(p2s) > 1
+                      else p2s[0])
+                t = _apply_merge(p1, p2, row, 3, "spatial", n_sp)
+                contrib = _apply_strategy(t, col, 2, "spatial_h", n_h)
+                y = contrib if y is None else y + contrib
+            t_ll = _apply_strategy(ll, ll_row, 3, "spatial", n_sp)
+            ll = y + _apply_strategy(t_ll, ll_col, 2, "spatial_h", n_h)
+        return ll
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec_l = P("data", None, hx, "spatial")
+    spec_h = [_dtcwt_yh_spec(o_dim, ri_dim, hx)] * len(highs)
     fn = shard_map(local, mesh=mesh, in_specs=(spec_l, spec_h),
                    out_specs=spec_l)
     return fn(low, list(highs))
@@ -871,18 +1418,32 @@ def _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode):
 # --------------------------------------------------------------------------
 
 def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
-                    skip_hps=False, include_scale=False):
+                    skip_hps=False, include_scale=False, o_dim=2,
+                    ri_dim=-1):
     """DTCWT forward with batch sharded over 'data' and W over 'spatial'
     (and H over 'spatial_h' on 2-D meshes).
 
     On the matmul fast path this runs the composed pyramid as explicit
     halo'd per-shard operator chunks (no full-axis all-gather — pinned by
-    tests/test_parallel.py HLO assertions); otherwise XLA's SPMD
+    tests/test_parallel_matmul.py HLO assertions); past
+    ``banded.MAX_MATMUL_N`` the pyramid runs level by level with every
+    level's operators sharded (per-level matrices synthesize from small
+    verified probes to ``_SHARDED_MM_CAP``); otherwise XLA's SPMD
     partitioner inserts the halo exchanges for the conv path.
-    ``skip_hps`` / ``include_scale`` follow the single-device
-    DTCWTForward semantics."""
+    ``skip_hps`` / ``include_scale`` / ``o_dim`` / ``ri_dim`` follow the
+    single-device DTCWTForward semantics.  Odd-size inputs take the
+    reference's replicate even-pad before sharding."""
+    if x.shape[2] % 2 or x.shape[3] % 2:
+        from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+            _replicate_pad_even,
+        )
+        x = _replicate_pad_even(x)
     out = _sharded_dtcwt2d_matmul(x, mesh, filters, J, mode, skip_hps,
-                                  include_scale)
+                                  include_scale, o_dim, ri_dim)
+    if out is None:
+        out = _sharded_dtcwt2d_perlevel(x, mesh, filters, J, mode,
+                                        skip_hps, include_scale, o_dim,
+                                        ri_dim)
     if out is not None:
         return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
@@ -893,44 +1454,54 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
              out_shardings=None)
     def run(z):
         return dtcwt2d(z, filters, J=J, mode=mode, skip_hps=skip_hps,
-                       include_scale=include_scale)
+                       include_scale=include_scale, o_dim=o_dim,
+                       ri_dim=ri_dim)
 
     return run(xs)
 
 
-def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric"):
+def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric", o_dim=2,
+                     ri_dim=-1):
     """DTCWT inverse under spatial sharding (matmul composed pyramid on
-    the fast path — 1-D W or 2-D HxW meshes; GSPMD otherwise).
+    the fast path — 1-D W or 2-D HxW meshes; per-level sharded matmuls
+    past the composed cap; GSPMD otherwise).
 
-    coeffs: (yl, yh) in the default o_dim=2 / ri_dim=-1 layout.
+    coeffs: (yl, yh) in the given o_dim / ri_dim layout.
     filters: dict from :func:`transforms.dtcwt_xfm.dtcwt_inv_filters`."""
     from pytorch_wavelets_tpu.transforms.dtcwt_xfm import idtcwt2d
-    out = _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode)
+    out = _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode, o_dim,
+                                   ri_dim)
+    if out is None:
+        out = _sharded_idtcwt2d_perlevel(coeffs, mesh, filters, mode,
+                                         o_dim, ri_dim)
     if out is not None:
         return out
     low, highs = coeffs
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
     sh = NamedSharding(mesh, P("data", None, hx, "spatial"))
-    sh_h = NamedSharding(mesh, P("data", None, None, hx, "spatial",
-                                 None))
-    low = jax.device_put(low, sh)
-    highs = [jax.device_put(h, sh_h) for h in highs]
+    sh_h = NamedSharding(mesh, _dtcwt_yh_spec(o_dim, ri_dim, hx))
+    low = None if low is None else jax.device_put(low, sh)
+    highs = [h if h is None or h.size == 0 else jax.device_put(h, sh_h)
+             for h in highs]
 
     @jax.jit
     def run(l, hs):
-        return idtcwt2d((l, hs), filters, mode=mode)
+        return idtcwt2d((l, hs), filters, mode=mode, o_dim=o_dim,
+                        ri_dim=ri_dim)
 
     return run(low, highs)
 
 
 def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
-                    combine_colour=False):
+                    combine_colour=False, bandpass_diag=False):
     """Second-order scatternet, batch-DP over 'data', W over 'spatial'
-    (sharded composed matmuls on the fast path, GSPMD otherwise)."""
-    out = _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
-                                  combine_colour)
-    if out is not None:
-        return out
+    (sharded composed matmuls on the fast path, GSPMD otherwise; the
+    bandpass-diagonal variant always rides GSPMD)."""
+    if not bandpass_diag:
+        out = _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
+                                      combine_colour)
+        if out is not None:
+            return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
                                                  "spatial")))
@@ -938,7 +1509,8 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
     @jax.jit
     def run(z):
         return scat_layer_j2(z, filters, mode=mode, magbias=magbias,
-                             combine_colour=combine_colour)
+                             combine_colour=combine_colour,
+                             bandpass_diag=bandpass_diag)
 
     return run(xs)
 
@@ -988,14 +1560,58 @@ def _sfb1d_atrous_local(lo, hi, g0, g1, axis, dilation):
                                    "periodic", axis, dilation)
 
 
-def sharded_swt2d(x, mesh, wave="db2", J=2):
+def _sharded_swt2d_mode(x, mesh, wave, J, mode):
+    """Non-circular-mode sharded SWT over zero-embedded a trous
+    operators (any H/W incl. ragged; matmul path required)."""
+    h0c, h1c, h0r, h1r = dec_filters(wave)
+    n_h, n_sp = _mesh_sp(mesh)
+    H, W = x.shape[2], x.shape[3]
+    if not _sharded_mm_wanted(max(H, W)):
+        raise ValueError(
+            f"sharded_swt2d mode='{mode}' requires the operator-matmul "
+            "path; on CPU force it with banded.set_operator_matmul(True)")
+    rt = (tuple(np.asarray(h0r)[::-1]), tuple(np.asarray(h1r)[::-1]))
+    ct = (tuple(np.asarray(h0c)[::-1]), tuple(np.asarray(h1c)[::-1]))
+    row_s, sw = _swt_mode_split_strategies(rt, mode, W, n_sp, J)
+    col_s, sh = _swt_mode_split_strategies(ct, mode, H, n_h, J)
+    if sw - W or sh - H:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, sh - H), (0, sw - W)))
+
+    def local(xl):
+        out = []
+        ll = xl
+        for j in range(J):
+            N, C = ll.shape[:2]
+            lohi = _apply_split(ll, row_s[j], 3, "spatial", n_sp)
+            lohi = lohi.reshape(N, C * 2, *lohi.shape[3:])
+            y = _apply_split(lohi, col_s[j], 2, "spatial_h", n_h)
+            y = y.reshape(N, C, 2, 2, *y.shape[3:])
+            y = y.reshape(N, C, 4, *y.shape[4:])
+            ll = y[:, :, 0]
+            out.append(y)
+        return out
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec_in = P("data", None, hx, "spatial")
+    spec_out = [P("data", None, None, hx, "spatial")] * J
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
+                   out_specs=spec_out)
+    return [y[:, :, :, :H, :W] for y in fn(x)]
+
+
+def sharded_swt2d(x, mesh, wave="db2", J=2, mode="periodic"):
     """J-level undecimated (SWT) 2-D transform, N over 'data', W over
     'spatial', with per-level dilated ring halo exchange along W.
 
     Returns the same list of (N, C, 4, H, W) coefficient arrays as
-    transforms.dwt.swt2d in 'periodic' mode (plain circular wrap — the pad
-    and the halos are periodic, cf. _afb1d_atrous_local).  Per-level
+    transforms.dwt.swt2d (circular modes wrap their halos around the
+    ring; 'zero' / 'symmetric' / 'reflect' ride the zero-embedded
+    operator path, cf. :func:`_sharded_swt2d_mode`).  Per-level
     communication is the dilated filter support: (L-1)*2^j columns."""
+    if mode in _EMBED_MODES:
+        return _sharded_swt2d_mode(x, mesh, wave, J, mode)
+    if mode not in _CIRCULAR_MODES:
+        raise ValueError(f"unsupported sharded SWT mode: {mode}")
     h0c, h1c, h0r, h1r = dec_filters(wave)
     rh = np.stack([np.asarray(h0r)[::-1], np.asarray(h1r)[::-1]])
     rc = np.stack([np.asarray(h0c)[::-1], np.asarray(h1c)[::-1]])
@@ -1042,8 +1658,25 @@ def sharded_swt2d(x, mesh, wave="db2", J=2):
     return fn(x)
 
 
-def sharded_iswt2d(coeffs, mesh, wave="db2"):
-    """Inverse of :func:`sharded_swt2d`."""
+def sharded_iswt2d(coeffs, mesh, wave="db2", mode="periodic"):
+    """Inverse of :func:`sharded_swt2d`.
+
+    Circular modes run the sharded adjoint-averaging merge (exact for
+    circular boundaries).  Non-circular modes need the least-squares
+    pseudo-inverse operators (transforms.dwt.iswt2d) whose matrices are
+    dense, not banded — they cannot halo-shard, so the inverse runs the
+    single-device ISWT under GSPMD sharding constraints instead."""
+    if mode not in _CIRCULAR_MODES:
+        from pytorch_wavelets_tpu.transforms.dwt import iswt2d
+        hx = "spatial_h" if "spatial_h" in mesh.shape else None
+        sh = NamedSharding(mesh, P("data", None, None, hx, "spatial"))
+        cs = [jax.device_put(c, sh) for c in coeffs]
+
+        @jax.jit
+        def run(zs):
+            return iswt2d(zs, wave, mode=mode)
+
+        return run(cs)
     g0c, g1c, g0r, g1r = rec_filters(wave)
     J = len(coeffs)
     n_h, n_sp = _mesh_sp(mesh)

@@ -43,7 +43,29 @@ yl_full = multihost_utils.process_allgather(yl, tiled=True)
 yl_ref, _ = dwt2d(jnp.asarray(x), "db2", J=2, mode="periodization")
 err = float(np.abs(np.asarray(yl_full) - np.asarray(yl_ref)).max())
 assert err < 1e-5, err
-print("MULTIHOST_OK", err)
+
+# forced-matmul sharded path: W tiled over 'spatial' across the TWO
+# PROCESSES, so the per-operator ring collective-permutes in
+# parallel/banded_shard.py actually cross the process boundary
+from pytorch_wavelets_tpu.ops import banded
+from pytorch_wavelets_tpu.parallel import sharded_dwt2d
+banded.set_operator_matmul(True)
+mesh_sp = make_mesh(n_data=1, n_spatial=2)
+sh_sp = NamedSharding(mesh_sp, P("data", None, None, "spatial"))
+xg2 = jax.make_array_from_process_local_data(
+    sh_sp, x[:, :, :, 16 * pid:16 * (pid + 1)], global_shape=x.shape)
+yl_s, yh_s = sharded_dwt2d(xg2, mesh_sp, wave="db2", J=2)
+yl_sf = multihost_utils.process_allgather(yl_s, tiled=True)
+err2 = float(np.abs(np.asarray(yl_sf) - np.asarray(yl_ref)).max())
+assert err2 < 1e-5, err2
+
+# and a zero-embedded boundary-mode pyramid across the same two hosts
+yl_z, yh_z = sharded_dwt2d(xg2, mesh_sp, wave="db2", J=2, mode="zero")
+yl_zref, _ = dwt2d(jnp.asarray(x), "db2", J=2, mode="zero")
+yl_zf = multihost_utils.process_allgather(yl_z, tiled=True)
+err3 = float(np.abs(np.asarray(yl_zf) - np.asarray(yl_zref)).max())
+assert err3 < 1e-5, err3
+print("MULTIHOST_OK", err, err2, err3)
 """
 
 

@@ -1,0 +1,177 @@
+"""Sharded boundary modes + ragged shapes + model-layer mesh ergonomics.
+
+The reference's DWT default is mode='zero'
+(/root/reference/pytorch_wavelets/dwt/transform2d.py:20) and it handles
+odd sizes everywhere on one device (transform2d.py:142-145); round 2's
+sharded paths supported periodization on divisible axes only.  These
+tests pin the round-3 zero-embedded operator scheme
+(parallel/sharded.py:_embed_blocks): non-circular modes and arbitrary
+(odd/ragged) axis sizes on the sharded matmul path, equal to the
+single-device transforms, plus the one-line `mesh=` opt-in on the model
+classes (VERDICT r2 items 2, 7, 8)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorch_wavelets_tpu as tw
+from pytorch_wavelets_tpu.ops import banded
+from pytorch_wavelets_tpu.parallel import (
+    make_mesh, sharded_dwt2d, sharded_idwt2d, sharded_swt2d,
+    sharded_iswt2d, sharded_dwt1d, sharded_idwt1d, sharded_dtcwt2d,
+)
+from pytorch_wavelets_tpu.transforms.dwt import (
+    dwt1d, dwt2d, idwt1d, idwt2d, swt2d,
+)
+from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+    dtcwt2d, dtcwt_fwd_filters,
+)
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_data=4, n_spatial=2)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_data=2, n_spatial=2, n_spatial_h=2)
+
+
+@pytest.fixture()
+def force_matmul():
+    banded.set_operator_matmul(True)
+    yield
+    banded.set_operator_matmul(None)
+
+
+@pytest.mark.parametrize("mode", ["zero", "symmetric", "reflect"])
+@pytest.mark.parametrize("shape", [(32, 48), (31, 57)])
+def test_sharded_dwt2d_modes(mesh, force_matmul, mode, shape):
+    """Non-circular modes (incl. the reference's 'zero' default) on odd
+    and ragged axes equal the single-device DWT, and invert."""
+    H, W = shape
+    x = jnp.asarray(_rand((4, 2, H, W), seed=1))
+    yl_s, yh_s = sharded_dwt2d(x, mesh, wave="db3", J=2, mode=mode)
+    yl, yh = dwt2d(x, "db3", J=2, mode=mode)
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl),
+                               atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    rec_s = sharded_idwt2d((yl_s, yh_s), mesh, wave="db3", mode=mode)
+    rec = idwt2d((yl, yh), "db3", mode=mode)
+    assert rec_s.shape == rec.shape
+    np.testing.assert_allclose(np.asarray(rec_s), np.asarray(rec),
+                               atol=1e-4)
+
+
+def test_sharded_dwt2d_mode_2d_tiling(mesh2d, force_matmul):
+    """Zero-embedded operators under full HxW tiling with odd sizes."""
+    x = jnp.asarray(_rand((4, 1, 45, 53), seed=2))
+    yl_s, yh_s = sharded_dwt2d(x, mesh2d, wave="db2", J=2,
+                               mode="symmetric")
+    yl, yh = dwt2d(x, "db2", J=2, mode="symmetric")
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl),
+                               atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    rec_s = sharded_idwt2d((yl_s, yh_s), mesh2d, wave="db2",
+                           mode="symmetric")
+    rec = idwt2d((yl, yh), "db2", mode="symmetric")
+    assert rec_s.shape == rec.shape
+    np.testing.assert_allclose(np.asarray(rec_s), np.asarray(rec),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["zero", "symmetric"])
+def test_sharded_swt2d_modes(mesh, force_matmul, mode):
+    x = jnp.asarray(_rand((4, 1, 30, 50), seed=3))
+    got = sharded_swt2d(x, mesh, wave="db2", J=2, mode=mode)
+    want = swt2d(x, "db2", J=2, mode=mode)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5)
+    # non-circular inverse rides GSPMD over the exact LS single-device
+    # inverse (pseudo-inverse operators are dense, not banded)
+    rec = sharded_iswt2d(got, mesh, wave="db2", mode=mode)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
+def test_sharded_dwt1d_mode(mesh, force_matmul):
+    x = jnp.asarray(_rand((4, 3, 101), seed=4))
+    x0_s, hs_s = sharded_dwt1d(x, mesh, wave="db3", J=2, mode="zero")
+    x0, hs = dwt1d(x, "db3", J=2, mode="zero")
+    np.testing.assert_allclose(np.asarray(x0_s), np.asarray(x0),
+                               atol=2e-5)
+    for a, b in zip(hs_s, hs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    rec_s = sharded_idwt1d((x0_s, hs_s), mesh, wave="db3", mode="zero")
+    rec = idwt1d((x0, hs), "db3", mode="zero")
+    assert rec_s.shape == rec.shape
+    np.testing.assert_allclose(np.asarray(rec_s), np.asarray(rec),
+                               atol=1e-4)
+
+
+def test_sharded_dtcwt2d_odd_input(mesh, force_matmul):
+    """Odd-size inputs take the reference replicate even-pad before the
+    sharded pyramid and match the single-device transform."""
+    filters = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    x = jnp.asarray(_rand((8, 1, 63, 63), seed=5))
+    yl_s, yh_s = sharded_dtcwt2d(x, mesh, filters, J=2)
+    yl, yh = dtcwt2d(x, filters, J=2)
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl),
+                               atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+
+def test_model_mesh_ergonomics(mesh, force_matmul):
+    """One-line opt-in: models accept mesh= and produce the sharded
+    production path's results (== the mesh-less models)."""
+    x = jnp.asarray(_rand((8, 2, 64, 64), seed=6))
+    fwd = tw.DWTForward(J=2, wave="db3", mode="zero", mesh=mesh)
+    yl_s, yh_s = fwd(x)
+    yl, yh = tw.DWTForward(J=2, wave="db3", mode="zero")(x)
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl),
+                               atol=2e-5)
+    inv = tw.DWTInverse(wave="db3", mode="zero", mesh=mesh)
+    rec = inv((yl_s, yh_s))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+    xfm = tw.DTCWTForward(J=2, mesh=mesh)
+    yl_s, yh_s = xfm(x)
+    yl, yh = tw.DTCWTForward(J=2)(x)
+    np.testing.assert_allclose(np.asarray(yl_s), np.asarray(yl),
+                               atol=2e-5)
+    for a, b in zip(yh_s, yh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    ifm = tw.DTCWTInverse(mesh=mesh)
+    rec = ifm((yl_s, yh_s))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-4)
+
+
+def test_model_mesh_scatternet(mesh, force_matmul):
+    x = jnp.asarray(_rand((8, 3, 32, 32), seed=7))
+    z_s = tw.ScatLayerj2(mesh=mesh)(x)
+    z = tw.ScatLayerj2()(x)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z), atol=2e-5)
+
+
+def test_sharded_dwt_unsupported_mode_raises(mesh, force_matmul):
+    x = jnp.asarray(_rand((4, 1, 32, 32), seed=8))
+    with pytest.raises(ValueError, match="unsupported sharded DWT mode"):
+        sharded_dwt2d(x, mesh, wave="db2", J=1, mode="nonsense")

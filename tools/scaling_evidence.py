@@ -54,7 +54,7 @@ def hlo_collectives(txt):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--out", default="SCALING_r2.json")
+    p.add_argument("--out", default="SCALING_r3.json")
     p.add_argument("--skip-curve", action="store_true",
                    help="reuse no plumbing curve (fast mode)")
     args = p.parse_args(argv)
@@ -133,6 +133,43 @@ def main(argv=None):
         }
         assert not got2.get("all-gather"), "unexpected all-gather"
         assert hlo2 == model2, (hlo2, model2)
+
+        # --- leg 2c: per-level (giant-image) DTCWT path --------------
+        # Same code path the W>MAX_MATMUL_N pyramid runs
+        # (tests/test_parallel_giant.py), compiled here at a small W so
+        # the HLO check stays fast; halo widths read off the actual
+        # per-level ShardedOp plans.
+        from pytorch_wavelets_tpu.parallel.sharded import (
+            _sharded_dtcwt2d_perlevel, _dtcwt_fwd_perlevel_shard_plans)
+        from pytorch_wavelets_tpu.transforms.dtcwt_xfm import dtcwt2d
+        H3 = 128
+
+        def run_pl(z):
+            return _sharded_dtcwt2d_perlevel(z, mesh, f, 3, "symmetric")
+
+        x3 = jnp.asarray(np.random.RandomState(2)
+                         .randn(N, C, H3, W).astype(np.float32))
+        txt3 = (jax.jit(run_pl, in_shardings=spec)
+                .lower(jax.device_put(x3, spec)).compile().as_text())
+        got3 = hlo_collectives(txt3)
+        plans = _dtcwt_fwd_perlevel_shard_plans(
+            f["h0o"], f["h1o"], f["h0a"], f["h1a"], f["h0b"], f["h1b"],
+            3, (False,) * 3, "symmetric", H3, W, 8, 1)
+        scales, _ = dtcwt2d(x3, f, J=3, include_scale=True)
+        heights = [H3] + [s.shape[2] for s in scales[:-1]]
+        model3 = sum((op.halo_left + op.halo_right) * N * C * h * 4
+                     for (op, _), h in zip(plans, heights))
+        hlo3 = sum(got3.get("collective-permute", []))
+        result["hlo_check_dtcwt_perlevel"] = {
+            "collective_permutes": len(got3.get("collective-permute",
+                                                [])),
+            "hlo_bytes": int(hlo3),
+            "model_bytes": int(model3),
+            "all_gather_present": "all-gather" in got3,
+            "all_reduce_present": "all-reduce" in got3,
+        }
+        assert not got3.get("all-gather"), "unexpected all-gather"
+        assert hlo3 == model3, (hlo3, model3)
 
     finally:
         banded.set_operator_matmul(None)
