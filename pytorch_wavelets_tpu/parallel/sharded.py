@@ -958,10 +958,13 @@ def _scat_shard_plans(h0o, h1o, h0a, h1a, h0b, h1b, J, mode, H, W, n_sp,
 
 def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
                             combine_colour=False):
-    """Second-order scatternet under spatial sharding on the composed
-    matmul path: two sharded pyramid applies (orders 1+2 fused, then the
-    second order over the first-order magnitudes) with all magnitudes,
-    reshapes and pooling local.  None signals fallback to GSPMD."""
+    """Second-order scatternet under spatial sharding on the matmul
+    path: two sharded pyramid fronts (orders 1+2 fused, then the second
+    order over the first-order magnitudes) with all magnitudes, reshapes
+    and pooling local.  Composed whole-pyramid fronts up to
+    banded.MAX_MATMUL_N; past it the per-level giant-image fronts (same
+    machinery as _sharded_dtcwt2d_perlevel) to _SHARDED_MM_CAP.  None
+    signals fallback to GSPMD."""
     from pytorch_wavelets_tpu.transforms.scatternet import (
         _combined_mag, smooth_mag,
     )
@@ -970,8 +973,6 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
         raise ValueError("combine_colour requires 3 input channels")
     if H % 8 or W % 8:
         return None           # keep the reference %8 pad path on GSPMD
-    if not (_mm_enabled(H) and _mm_enabled(W)):
-        return None
     n_h, n_sp = _mesh_sp(mesh)
     if W % n_sp or H % max(n_h, 1):
         return None
@@ -980,22 +981,66 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
             filters.get("h1a", filters["h1o"]),
             filters.get("h0b", filters["h0o"]),
             filters.get("h1b", filters["h1o"]))
-    p2 = _scat_shard_plans(*args, 2, mode, H, W, n_sp, n_h)
-    p1 = _scat_shard_plans(*args, 1, mode, H // 2, W // 2, n_sp, n_h)
-    if p2 is None or p1 is None:
-        return None
-    op2, s2_2 = p2
-    op1, s2_1 = p1
+    p2 = p1 = None
+    if _mm_enabled(H) and _mm_enabled(W):
+        p2 = _scat_shard_plans(*args, 2, mode, H, W, n_sp, n_h)
+        p1 = _scat_shard_plans(*args, 1, mode, H // 2, W // 2, n_sp, n_h)
+    if p2 is not None and p1 is not None:
+        op2, s2_2 = p2
+        op1, s2_1 = p1
 
-    def local(xl):
-        lls, highs = _sharded_pyramid(xl, 1, op2, s2_2, n_sp, n_h)
-        s0 = lls[-1]
-        (r1, i1), (r2, i2) = highs
+        def front2(xl):
+            """Composed order-1+2 pyramid; final lowpass pre-pooled by
+            the plan's _pool_compose."""
+            lls, highs = _sharded_pyramid(xl, 1, op2, s2_2, n_sp, n_h)
+            return lls[-1], highs
 
-        def second_order(u1):
+        def front1(u1):
             (u1_ll, *_), ((r3, i3),) = _sharded_pyramid(
                 u1, 1, op1, s2_1, n_sp, n_h)
             return u1_ll, r3, i3
+    else:
+        # giant-image per-level fronts (past the composed cap, same
+        # machinery as _sharded_dtcwt2d_perlevel): chain each level's
+        # sharded ops, average-pool the final lowpass locally — exact
+        # because shard tiles stay even (gated below)
+        if not (_sharded_mm_wanted(H) and _sharded_mm_wanted(W)):
+            return None
+        if W % (8 * n_sp) or H % (8 * max(n_h, 1)):
+            return None
+        pl2 = _dtcwt_fwd_perlevel_shard_plans(
+            *args, 2, (False, False), mode, H, W, n_sp, n_h)
+        pl1 = _dtcwt_fwd_perlevel_shard_plans(
+            *args, 1, (False,), mode, H // 2, W // 2, n_sp, n_h)
+        if pl2 is None or pl1 is None:
+            return None
+
+        def _pool_local(ll):
+            return 0.25 * (ll[..., 0::2, 0::2] + ll[..., 0::2, 1::2]
+                           + ll[..., 1::2, 0::2] + ll[..., 1::2, 1::2])
+
+        def front2(xl):
+            ll, highs = xl, []
+            for op, s2 in pl2:
+                ls, hs = _sharded_pyramid(ll, 1, op, s2, n_sp, n_h)
+                ll = ls[0]
+                highs.append(hs[0])
+            return _pool_local(ll), highs
+
+        def front1(u1):
+            ll, hs1 = u1, None
+            for op, s2 in pl1:
+                ls, hs = _sharded_pyramid(ll, 1, op, s2, n_sp, n_h)
+                ll = ls[0]
+                hs1 = hs[0]
+            return _pool_local(ll), hs1[0], hs1[1]
+
+    def local(xl):
+        s0, highs = front2(xl)
+        (r1, i1), (r2, i2) = highs
+
+        def second_order(u1):
+            return front1(u1)
 
         if combine_colour:
             s1_j1 = _combined_mag(r1, i1, magbias)

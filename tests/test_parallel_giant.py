@@ -71,3 +71,28 @@ def test_mm_dtcwt_beyond_matmul_cap(mesh, force_matmul):
     for a, b in zip(out[1], yh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5)
+
+
+def test_mm_scat_beyond_matmul_cap(mesh, force_matmul):
+    """Giant-image ScatLayerj2 at W=9216: past banded.MAX_MATMUL_N the
+    scatternet runs the per-level sharded fronts (orders 1+2 then the
+    second order over first-order magnitudes, pooling local).  Oracle:
+    the single-device conv path."""
+    W = 9216
+    assert W > banded.MAX_MATMUL_N
+    from pytorch_wavelets_tpu.parallel.sharded import (
+        _sharded_scat_j2_matmul,
+    )
+    from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
+    from pytorch_wavelets_tpu.models.scatternet import ScatLayerj2
+    filters = dict(ScatLayerj2()._filters)
+    x = jnp.asarray(_rand((4, 1, 16, W), seed=59))
+    out = _sharded_scat_j2_matmul(x, mesh, filters, "symmetric", 1e-2)
+    assert out is not None, "per-level scat front not taken at W=9216"
+    banded.set_operator_matmul(False)   # conv-path oracle
+    try:
+        ref = scat_layer_j2(x, filters, mode="symmetric", magbias=1e-2)
+    finally:
+        banded.set_operator_matmul(True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)

@@ -175,3 +175,46 @@ def test_sharded_dwt_unsupported_mode_raises(mesh, force_matmul):
     x = jnp.asarray(_rand((4, 1, 32, 32), seed=8))
     with pytest.raises(ValueError, match="unsupported sharded DWT mode"):
         sharded_dwt2d(x, mesh, wave="db2", J=1, mode="nonsense")
+
+
+def test_scat_perlevel_front_matches_composed(mesh, force_matmul,
+                                              monkeypatch):
+    """The giant-image per-level scatternet fronts compute the same
+    pyramid as the composed fronts (gate shrunk so the per-level path
+    runs at a small, fast size)."""
+    import pytorch_wavelets_tpu.parallel.sharded as sh
+    from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j2
+    filters = dict(tw.ScatLayerj2()._filters)
+    x = jnp.asarray(_rand((4, 2, 32, 64), seed=23))
+    ref = scat_layer_j2(x, filters, mode="symmetric", magbias=1e-2)
+    monkeypatch.setattr(sh, "_mm_enabled", lambda n: False)
+    out = sh._sharded_scat_j2_matmul(x, mesh, filters, "symmetric", 1e-2)
+    assert out is not None, "per-level scat front not taken"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_dtcwt_perlevel_gradient(mesh, force_matmul, monkeypatch):
+    """Autodiff through the per-level sharded DTCWT (pure einsums inside
+    shard_map — plain autodiff is the exact adjoint): gradient matches
+    the single-device composed path at a small, fast size."""
+    import pytorch_wavelets_tpu.parallel.sharded as sh
+    ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    x = jnp.asarray(_rand((4, 1, 16, 32), seed=29))
+
+    def loss_single(z):
+        yl, yh = dtcwt2d(z, ff, J=2)
+        return jnp.sum(yl ** 2) + sum(jnp.sum(h ** 2) for h in yh)
+
+    g_ref = jax.grad(loss_single)(x)
+    monkeypatch.setattr(sh, "_mm_enabled", lambda n: False)
+
+    def loss_pl(z):
+        out = sh._sharded_dtcwt2d_perlevel(z, mesh, ff, 2, "symmetric")
+        assert out is not None
+        yl, yh = out
+        return jnp.sum(yl ** 2) + sum(jnp.sum(h ** 2) for h in yh)
+
+    g_pl = jax.grad(loss_pl)(x)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               atol=1e-4)
