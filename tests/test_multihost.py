@@ -65,7 +65,23 @@ yl_zref, _ = dwt2d(jnp.asarray(x), "db2", J=2, mode="zero")
 yl_zf = multihost_utils.process_allgather(yl_z, tiled=True)
 err3 = float(np.abs(np.asarray(yl_zf) - np.asarray(yl_zref)).max())
 assert err3 < 1e-5, err3
-print("MULTIHOST_OK", err, err2, err3)
+
+# and a sharded composed DTCWT step (stage-1 halo ppermutes + stage-2
+# column ops) with the W axis split across the two processes
+from pytorch_wavelets_tpu.parallel import sharded_dtcwt2d
+from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+    dtcwt2d, dtcwt_fwd_filters,
+)
+ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+yl_d, yh_d = sharded_dtcwt2d(xg2, mesh_sp, ff, J=2)
+yl_dref, yh_dref = dtcwt2d(jnp.asarray(x), ff, J=2)
+yl_df = multihost_utils.process_allgather(yl_d, tiled=True)
+yh_df = multihost_utils.process_allgather(yh_d[0], tiled=True)
+err4 = max(
+    float(np.abs(np.asarray(yl_df) - np.asarray(yl_dref)).max()),
+    float(np.abs(np.asarray(yh_df) - np.asarray(yh_dref[0])).max()))
+assert err4 < 1e-5, err4
+print("MULTIHOST_OK", err, err2, err3, err4)
 """
 
 

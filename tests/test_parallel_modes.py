@@ -218,3 +218,33 @@ def test_dtcwt_perlevel_gradient(mesh, force_matmul, monkeypatch):
     g_pl = jax.grad(loss_pl)(x)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                atol=1e-4)
+
+
+def test_dtcwt_perlevel_skip_include(mesh, force_matmul, monkeypatch):
+    """skip_hps / include_scale through the per-level sharded DTCWT
+    match the single-device transform (gate shrunk for speed)."""
+    import pytorch_wavelets_tpu.parallel.sharded as sh
+    ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    x = jnp.asarray(_rand((4, 1, 16, 32), seed=31))
+    skips = [True, False, False]
+    incs = [False, True, True]
+    scales_ref, yh_ref = dtcwt2d(x, ff, J=3, skip_hps=skips,
+                                 include_scale=incs)
+    monkeypatch.setattr(sh, "_mm_enabled", lambda n: False)
+    out = sh._sharded_dtcwt2d_perlevel(x, mesh, ff, 3, "symmetric",
+                                       skip_hps=skips,
+                                       include_scale=incs)
+    assert out is not None
+    scales, yh = out
+    for a, b in zip(scales, scales_ref):
+        if b is None:
+            assert a is None
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+    for a, b in zip(yh, yh_ref):
+        if b is None or (hasattr(b, "size") and b.size == 0):
+            assert a is None or a.size == 0
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
