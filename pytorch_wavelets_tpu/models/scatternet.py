@@ -23,14 +23,15 @@ class ScatLayer(StaticModule):
     lowpass and the next 6C the oriented magnitudes (or (N, 9, ...) when
     combine_colour)."""
     _fields = ("biort", "mode", "magbias", "combine_colour", "_filters",
-               "_bandpass_diag")
+               "_bandpass_diag", "mesh")
 
     def __init__(self, biort="near_sym_a", mode="symmetric", magbias=1e-2,
-                 combine_colour=False):
+                 combine_colour=False, mesh=None):
         self._set("biort", biort)
         self._set("mode", mode)
         self._set("magbias", magbias)
         self._set("combine_colour", combine_colour)
+        self._set("mesh", mesh)
         if biort == "near_sym_b_bp":
             h0o, _, h1o, _, h2o, _ = _biort(biort)
             filters = (("h0o", _tup(prep_taps(h0o))),
@@ -45,6 +46,12 @@ class ScatLayer(StaticModule):
         self._set("_filters", filters)
 
     def __call__(self, x):
+        if self.mesh is not None:
+            from pytorch_wavelets_tpu.parallel import sharded_scat_j1
+            return sharded_scat_j1(x, self.mesh, dict(self._filters),
+                                   mode=self.mode, magbias=self.magbias,
+                                   combine_colour=self.combine_colour,
+                                   bandpass_diag=self._bandpass_diag)
         return scat_layer_j1(x, dict(self._filters), mode=self.mode,
                              magbias=self.magbias,
                              combine_colour=self.combine_colour,

@@ -14,13 +14,13 @@ from pytorch_wavelets_tpu.parallel.halo import (  # noqa: F401
 from pytorch_wavelets_tpu.parallel.sharded import (  # noqa: F401
     sharded_dwt2d, sharded_idwt2d, sharded_dwt1d, sharded_idwt1d,
     sharded_dtcwt2d, sharded_idtcwt2d,
-    sharded_scat_j2, sharded_swt2d, sharded_iswt2d,
+    sharded_scat_j1, sharded_scat_j2, sharded_swt2d, sharded_iswt2d,
 )
 
 __all__ = [
     "make_mesh", "data_sharding", "spatial_sharding",
     "initialize_multihost", "halo_exchange_1d",
     "sharded_dwt2d", "sharded_idwt2d", "sharded_dwt1d", "sharded_idwt1d",
-    "sharded_dtcwt2d", "sharded_idtcwt2d", "sharded_scat_j2",
-    "sharded_swt2d", "sharded_iswt2d",
+    "sharded_dtcwt2d", "sharded_idtcwt2d", "sharded_scat_j1",
+    "sharded_scat_j2", "sharded_swt2d", "sharded_iswt2d",
 ]

@@ -1071,6 +1071,72 @@ def _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
     return fn(x)
 
 
+def _sharded_scat_j1_matmul(x, mesh, filters, mode, magbias,
+                            combine_colour=False):
+    """First-order scatternet under spatial sharding on the matmul path:
+    one sharded pyramid front (J=1, lowpass pre-pooled by the plan) with
+    the magnitudes and channel reshapes local.  Composed front up to
+    banded.MAX_MATMUL_N; past it the per-level giant-image front (same
+    machinery as _sharded_dtcwt2d_perlevel) to _SHARDED_MM_CAP.  None
+    signals fallback to GSPMD.  Caller pads x even first (reference
+    ScatLayer semantics, scatternet/layers.py:60-66)."""
+    from pytorch_wavelets_tpu.transforms.scatternet import (
+        _combined_mag, smooth_mag,
+    )
+    H, W = x.shape[2], x.shape[3]
+    if combine_colour and x.shape[1] != 3:
+        raise ValueError("combine_colour requires 3 input channels")
+    if H % 2 or W % 2:
+        return None
+    n_h, n_sp = _mesh_sp(mesh)
+    if W % n_sp or H % max(n_h, 1):
+        return None
+    args = (filters["h0o"], filters["h1o"]) * 3   # q-shift unused at J=1
+    p = None
+    if _mm_enabled(H) and _mm_enabled(W):
+        p = _scat_shard_plans(*args, 1, mode, H, W, n_sp, n_h)
+    if p is not None:
+        op, s2 = p
+
+        def front(xl):
+            (ll, *_), ((r, i),) = _sharded_pyramid(xl, 1, op, s2, n_sp,
+                                                   n_h)
+            return ll, r, i
+    else:
+        # giant-image per-level front past the composed cap
+        if not (_sharded_mm_wanted(H) and _sharded_mm_wanted(W)):
+            return None
+        if W % (2 * n_sp) or H % (2 * max(n_h, 1)):
+            return None
+        pl = _dtcwt_fwd_perlevel_shard_plans(*args, 1, (False,), mode, H,
+                                             W, n_sp, n_h)
+        if pl is None:
+            return None
+
+        def front(xl):
+            (op1, s21), = pl
+            ls, hs = _sharded_pyramid(xl, 1, op1, s21, n_sp, n_h)
+            ll = ls[0]
+            ll = 0.25 * (ll[..., 0::2, 0::2] + ll[..., 0::2, 1::2]
+                         + ll[..., 1::2, 0::2] + ll[..., 1::2, 1::2])
+            return ll, hs[0][0], hs[0][1]
+
+    def local(xl):
+        ll, r, i = front(xl)
+        if combine_colour:
+            rm = _combined_mag(r, i, magbias)     # (N, 6, 1, H/2, W/2)
+            return jnp.concatenate([ll, rm[:, :, 0]], axis=1)
+        rm = smooth_mag(r, i, magbias)            # (N, 6, C, H/2, W/2)
+        Z = jnp.concatenate([ll[:, None], rm], axis=1)
+        b, _, c, hh, ww = Z.shape
+        return Z.reshape(b, 7 * c, hh, ww)
+
+    hx = "spatial_h" if n_h > 1 else None
+    spec = P("data", None, hx, "spatial")
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(x)
+
+
 @_plan_cached
 def _dtcwt_inv_shard_plans(g0o, g1o, g0a, g1a, g0b, g1b, mode, yl_hw,
                            sizes, n_sp, n_h):
@@ -1554,6 +1620,35 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
     @jax.jit
     def run(z):
         return scat_layer_j2(z, filters, mode=mode, magbias=magbias,
+                             combine_colour=combine_colour,
+                             bandpass_diag=bandpass_diag)
+
+    return run(xs)
+
+
+def sharded_scat_j1(x, mesh, filters, mode="symmetric", magbias=1e-2,
+                    combine_colour=False, bandpass_diag=False):
+    """First-order scatternet (reference ScatLayer,
+    scatternet/layers.py:11-79), batch-DP over 'data', W over 'spatial'
+    (sharded composed matmuls on the fast path, per-level past the
+    composed cap, GSPMD otherwise; the bandpass-diagonal variant always
+    rides GSPMD)."""
+    from pytorch_wavelets_tpu.transforms.scatternet import (
+        _pad_even, scat_layer_j1,
+    )
+    x = _pad_even(x)
+    if not bandpass_diag:
+        out = _sharded_scat_j1_matmul(x, mesh, filters, mode, magbias,
+                                      combine_colour)
+        if out is not None:
+            return out
+    hx = "spatial_h" if "spatial_h" in mesh.shape else None
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
+                                                 "spatial")))
+
+    @jax.jit
+    def run(z):
+        return scat_layer_j1(z, filters, mode=mode, magbias=magbias,
                              combine_colour=combine_colour,
                              bandpass_diag=bandpass_diag)
 

@@ -195,6 +195,23 @@ def test_mm_scat_j2_matches_single_device(mesh, force_matmul,
     np.testing.assert_allclose(np.asarray(z_s), np.asarray(z), atol=2e-5)
 
 
+@pytest.mark.parametrize("combine_colour", [False, True])
+def test_mm_scat_j1_matches_single_device(mesh, force_matmul,
+                                          combine_colour):
+    from pytorch_wavelets_tpu.parallel.sharded import (
+        _sharded_scat_j1_matmul,
+    )
+    from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j1
+    x = jnp.asarray(_rand((8, 3, 32, 32), seed=61))
+    m = tw.ScatLayer()
+    filters = dict(m._filters)
+    z_s = _sharded_scat_j1_matmul(x, mesh, filters, "symmetric", 1e-2,
+                                  combine_colour)
+    assert z_s is not None, "sharded matmul j1 scatternet path not taken"
+    z = scat_layer_j1(x, filters, combine_colour=combine_colour)
+    np.testing.assert_allclose(np.asarray(z_s), np.asarray(z), atol=2e-5)
+
+
 def test_mm_dtcwt_hlo_no_full_allgather(mesh, force_matmul):
     """Communication-pattern assertion: the compiled spatially-sharded
     matmul DTCWT exchanges halos via collective-permute and never

@@ -248,3 +248,25 @@ def test_dtcwt_perlevel_skip_include(mesh, force_matmul, monkeypatch):
         else:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5)
+
+
+def test_scat_j1_perlevel_and_model_mesh(mesh, force_matmul, monkeypatch):
+    """sharded_scat_j1: per-level giant front (composed gate shrunk) and
+    the ScatLayer(mesh=) opt-in with an odd-size input both match the
+    single-device transform."""
+    import pytorch_wavelets_tpu.parallel.sharded as sh
+    from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j1
+    filters = dict(tw.ScatLayer()._filters)
+    x = jnp.asarray(_rand((4, 2, 16, 32), seed=67))
+    ref = scat_layer_j1(x, filters)
+    monkeypatch.setattr(sh, "_mm_enabled", lambda n: False)
+    out = sh._sharded_scat_j1_matmul(x, mesh, filters, "symmetric", 1e-2)
+    assert out is not None, "per-level j1 front not taken"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5)
+    monkeypatch.undo()
+    xo = jnp.asarray(_rand((4, 1, 15, 31), seed=68))
+    refo = scat_layer_j1(xo, filters)
+    m = tw.ScatLayer(mesh=mesh)
+    np.testing.assert_allclose(np.asarray(m(xo)), np.asarray(refo),
+                               atol=2e-5)
