@@ -300,6 +300,35 @@ def _ceil_to(n, q):
     return -(-n // q) * q
 
 
+def _n_data(mesh):
+    return dict(mesh.shape).get("data", 1)
+
+
+def _pad_axis_to(a, n_to, axis=0):
+    """Zero-pad ``a`` along ``axis`` up to length ``n_to`` (transforms
+    are per-sample along the batch axis, so padded rows are dropped
+    after the sharded call — the graceful path when the batch does not
+    divide the 'data' mesh axis)."""
+    d = n_to - a.shape[axis]
+    if d == 0:
+        return a
+    pw = [(0, 0)] * a.ndim
+    pw[axis] = (0, d)
+    return jnp.pad(a, pw)
+
+
+def _slice_axis(a, n, axis=0):
+    return a[(slice(None),) * axis + (slice(0, n),)]
+
+
+def _yh_batch_axis6(o_dim, ri_dim):
+    """Batch axis of a 6-D bandpass tensor in any o_dim/ri_dim layout
+    (same derivation as _dtcwt_yh_spec)."""
+    od6, rd = o_dim % 6, ri_dim % 6
+    _, _, h6, w6 = get_dimensions6(o_dim, ri_dim)
+    return [i for i in range(6) if i not in (od6, rd, h6, w6)][0]
+
+
 def _embed_blocks(T, nrb, ncb, Mp, sp):
     """Zero-embed a logical block operator into shard-divisible storage:
     each of the ``nrb`` row blocks (size M) / ``ncb`` column blocks
@@ -559,6 +588,11 @@ def sharded_dwt2d(x, mesh, wave="db4", J=3, mode="periodization"):
     extension).  Off the matmul path (CPU), the W-only conv halo path is
     used (periodization only).  Returns the same (yl, yh) pyramid as
     transforms.dwt.dwt2d."""
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        out = sharded_dwt2d(_pad_axis_to(x, _ceil_to(N, nd)), mesh,
+                            wave=wave, J=J, mode=mode)
+        return jax.tree.map(lambda a: a[:N], out)
     if mode in _EMBED_MODES:
         return _sharded_dwt2d_mode(x, mesh, wave, J, mode)
     if mode not in _CIRCULAR_MODES:
@@ -622,6 +656,14 @@ def sharded_idwt2d(coeffs, mesh, wave="db4", mode="periodization"):
     """Inverse of :func:`sharded_dwt2d` (1-D or 2-D tiling mesh, with
     deep-level gather-resharding like the forward; 'zero' / 'symmetric' /
     'reflect' modes ride the zero-embedded operator path)."""
+    yl0, yh0 = coeffs
+    N, nd = yl0.shape[0], _n_data(mesh)
+    if N % nd:
+        Np = _ceil_to(N, nd)
+        cs = (_pad_axis_to(yl0, Np),
+              [h if h is None or h.size == 0 else _pad_axis_to(h, Np)
+               for h in yh0])
+        return sharded_idwt2d(cs, mesh, wave=wave, mode=mode)[:N]
     if mode in _EMBED_MODES:
         return _sharded_idwt2d_mode(coeffs, mesh, wave, mode)
     if mode not in _CIRCULAR_MODES:
@@ -685,6 +727,11 @@ def sharded_dwt1d(x, mesh, wave="db4", J=3, mode="periodization"):
     'zero' / 'symmetric' / 'reflect' modes (any L, ragged included) ride
     the zero-embedded operator path.  Returns (x0, [highs]) finest-first
     like transforms.dwt.dwt1d."""
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        out = sharded_dwt1d(_pad_axis_to(x, _ceil_to(N, nd)), mesh,
+                            wave=wave, J=J, mode=mode)
+        return jax.tree.map(lambda a: a[:N], out)
     h0, h1 = dec_filters(wave)[:2]
     n_sp = mesh.shape["spatial"]
     L = x.shape[-1]
@@ -729,6 +776,14 @@ def sharded_dwt1d(x, mesh, wave="db4", J=3, mode="periodization"):
 
 def sharded_idwt1d(coeffs, mesh, wave="db4", mode="periodization"):
     """Inverse of :func:`sharded_dwt1d`."""
+    x00, hs0 = coeffs
+    N, nd = x00.shape[0], _n_data(mesh)
+    if N % nd:
+        Np = _ceil_to(N, nd)
+        cs = (_pad_axis_to(x00, Np),
+              [h if h is None or h.size == 0 else _pad_axis_to(h, Np)
+               for h in hs0])
+        return sharded_idwt1d(cs, mesh, wave=wave, mode=mode)[:N]
     g0, g1 = rec_filters(wave)[:2]
     x0, highs = coeffs
     J = len(highs)
@@ -1544,6 +1599,16 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
     ``skip_hps`` / ``include_scale`` / ``o_dim`` / ``ri_dim`` follow the
     single-device DTCWTForward semantics.  Odd-size inputs take the
     reference's replicate even-pad before sharding."""
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        yl_o, yh_o = sharded_dtcwt2d(
+            _pad_axis_to(x, _ceil_to(N, nd)), mesh, filters, J=J,
+            mode=mode, skip_hps=skip_hps, include_scale=include_scale,
+            o_dim=o_dim, ri_dim=ri_dim)
+        b6 = _yh_batch_axis6(o_dim, ri_dim)
+        yh_o = [h if h is None or h.size == 0
+                else _slice_axis(h, N, b6) for h in yh_o]
+        return jax.tree.map(lambda a: a[:N], yl_o), yh_o
     if x.shape[2] % 2 or x.shape[3] % 2:
         from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
             _replicate_pad_even,
@@ -1580,6 +1645,19 @@ def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric", o_dim=2,
     coeffs: (yl, yh) in the given o_dim / ri_dim layout.
     filters: dict from :func:`transforms.dtcwt_xfm.dtcwt_inv_filters`."""
     from pytorch_wavelets_tpu.transforms.dtcwt_xfm import idtcwt2d
+    low0, highs0 = coeffs
+    nd = _n_data(mesh)
+    b6 = _yh_batch_axis6(o_dim, ri_dim)
+    N = (low0.shape[0] if low0 is not None else
+         next((h.shape[b6] for h in highs0
+               if h is not None and h.size), nd))
+    if N % nd:
+        Np = _ceil_to(N, nd)
+        cs = (None if low0 is None else _pad_axis_to(low0, Np),
+              [h if h is None or h.size == 0
+               else _pad_axis_to(h, Np, b6) for h in highs0])
+        return sharded_idtcwt2d(cs, mesh, filters, mode=mode,
+                                o_dim=o_dim, ri_dim=ri_dim)[:N]
     out = _sharded_idtcwt2d_matmul(coeffs, mesh, filters, mode, o_dim,
                                    ri_dim)
     if out is None:
@@ -1608,6 +1686,13 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
     """Second-order scatternet, batch-DP over 'data', W over 'spatial'
     (sharded composed matmuls on the fast path, GSPMD otherwise; the
     bandpass-diagonal variant always rides GSPMD)."""
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        out = sharded_scat_j2(_pad_axis_to(x, _ceil_to(N, nd)), mesh,
+                              filters, mode=mode, magbias=magbias,
+                              combine_colour=combine_colour,
+                              bandpass_diag=bandpass_diag)
+        return out[:N]
     if not bandpass_diag:
         out = _sharded_scat_j2_matmul(x, mesh, filters, mode, magbias,
                                       combine_colour)
@@ -1636,6 +1721,13 @@ def sharded_scat_j1(x, mesh, filters, mode="symmetric", magbias=1e-2,
     from pytorch_wavelets_tpu.transforms.scatternet import (
         _pad_even, scat_layer_j1,
     )
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        out = sharded_scat_j1(_pad_axis_to(x, _ceil_to(N, nd)), mesh,
+                              filters, mode=mode, magbias=magbias,
+                              combine_colour=combine_colour,
+                              bandpass_diag=bandpass_diag)
+        return out[:N]
     x = _pad_even(x)
     if not bandpass_diag:
         out = _sharded_scat_j1_matmul(x, mesh, filters, mode, magbias,
@@ -1748,6 +1840,11 @@ def sharded_swt2d(x, mesh, wave="db2", J=2, mode="periodic"):
     ring; 'zero' / 'symmetric' / 'reflect' ride the zero-embedded
     operator path, cf. :func:`_sharded_swt2d_mode`).  Per-level
     communication is the dilated filter support: (L-1)*2^j columns."""
+    N, nd = x.shape[0], _n_data(mesh)
+    if N % nd:
+        out = sharded_swt2d(_pad_axis_to(x, _ceil_to(N, nd)), mesh,
+                            wave=wave, J=J, mode=mode)
+        return [c[:N] for c in out]
     if mode in _EMBED_MODES:
         return _sharded_swt2d_mode(x, mesh, wave, J, mode)
     if mode not in _CIRCULAR_MODES:
@@ -1806,6 +1903,11 @@ def sharded_iswt2d(coeffs, mesh, wave="db2", mode="periodic"):
     pseudo-inverse operators (transforms.dwt.iswt2d) whose matrices are
     dense, not banded — they cannot halo-shard, so the inverse runs the
     single-device ISWT under GSPMD sharding constraints instead."""
+    N, nd = coeffs[0].shape[0], _n_data(mesh)
+    if N % nd:
+        Np = _ceil_to(N, nd)
+        cs = [_pad_axis_to(c, Np) for c in coeffs]
+        return sharded_iswt2d(cs, mesh, wave=wave, mode=mode)[:N]
     if mode not in _CIRCULAR_MODES:
         from pytorch_wavelets_tpu.transforms.dwt import iswt2d
         hx = "spatial_h" if "spatial_h" in mesh.shape else None

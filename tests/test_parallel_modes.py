@@ -270,3 +270,42 @@ def test_scat_j1_perlevel_and_model_mesh(mesh, force_matmul, monkeypatch):
     m = tw.ScatLayer(mesh=mesh)
     np.testing.assert_allclose(np.asarray(m(xo)), np.asarray(refo),
                                atol=2e-5)
+
+
+def test_batch_not_divisible_by_data_axis(mesh, force_matmul):
+    """Every sharded entry degrades gracefully when the batch does not
+    divide the 'data' mesh axis: pad batch to a multiple, run, slice
+    back (exact — transforms are per-sample along batch)."""
+    from pytorch_wavelets_tpu.parallel import (
+        sharded_iswt2d, sharded_idtcwt2d, sharded_scat_j1,
+    )
+    from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+        dtcwt_inv_filters,
+    )
+    from pytorch_wavelets_tpu.transforms.scatternet import scat_layer_j1
+    N = 3                        # mesh 'data' axis is 4
+    x = jnp.asarray(_rand((N, 2, 16, 32), seed=71))
+    yl, yh = sharded_dwt2d(x, mesh, "db2", J=2)
+    ylr, yhr = dwt2d(x, "db2", J=2, mode="periodization")
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(ylr),
+                               atol=2e-5)
+    r = sharded_idwt2d((yl, yh), mesh, "db2")
+    np.testing.assert_allclose(np.asarray(r), np.asarray(x), atol=2e-5)
+    cs = sharded_swt2d(x, mesh, "db2", J=2)
+    ri = sharded_iswt2d(cs, mesh, "db2")
+    np.testing.assert_allclose(np.asarray(ri), np.asarray(x), atol=2e-5)
+    ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    fi = dtcwt_inv_filters("near_sym_a", "qshift_a")
+    dl, dh = sharded_dtcwt2d(x, mesh, ff, J=2, o_dim=1, ri_dim=3)
+    dlr, dhr = dtcwt2d(x, ff, J=2, o_dim=1, ri_dim=3)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dlr),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dh[0]), np.asarray(dhr[0]),
+                               atol=2e-5)
+    rr = sharded_idtcwt2d((dl, dh), mesh, fi, o_dim=1, ri_dim=3)
+    np.testing.assert_allclose(np.asarray(rr), np.asarray(x), atol=2e-4)
+    filters = dict(tw.ScatLayer()._filters)
+    s1 = sharded_scat_j1(x, mesh, filters)
+    s1r = scat_layer_j1(x, filters)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
+                               atol=2e-5)
