@@ -329,6 +329,15 @@ def _yh_batch_axis6(o_dim, ri_dim):
     return [i for i in range(6) if i not in (od6, rd, h6, w6)][0]
 
 
+def _fit_spec(mesh, spec, shape):
+    """PartitionSpec with axis names dropped (replicated) wherever the
+    array dim does not divide the mesh axis — so the GSPMD fallbacks
+    accept any shape instead of raising from device_put."""
+    ms = dict(mesh.shape)
+    return P(*[None if nm is None or shape[i] % ms.get(nm, 1) else nm
+               for i, nm in enumerate(tuple(spec))])
+
+
 def _embed_blocks(T, nrb, ncb, Mp, sp):
     """Zero-embed a logical block operator into shard-divisible storage:
     each of the ``nrb`` row blocks (size M) / ``ncb`` column blocks
@@ -1623,8 +1632,8 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
     if out is not None:
         return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
-    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
-                                                 "spatial")))
+    xs = jax.device_put(x, NamedSharding(
+        mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
     @partial(jax.jit,
              out_shardings=None)
@@ -1667,10 +1676,12 @@ def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric", o_dim=2,
         return out
     low, highs = coeffs
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
-    sh = NamedSharding(mesh, P("data", None, hx, "spatial"))
-    sh_h = NamedSharding(mesh, _dtcwt_yh_spec(o_dim, ri_dim, hx))
-    low = None if low is None else jax.device_put(low, sh)
-    highs = [h if h is None or h.size == 0 else jax.device_put(h, sh_h)
+    low = None if low is None else jax.device_put(low, NamedSharding(
+        mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), low.shape)))
+    yh_sp = tuple(_dtcwt_yh_spec(o_dim, ri_dim, hx))
+    highs = [h if h is None or h.size == 0
+             else jax.device_put(h, NamedSharding(
+                 mesh, _fit_spec(mesh, yh_sp, h.shape)))
              for h in highs]
 
     @jax.jit
@@ -1699,8 +1710,8 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
         if out is not None:
             return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
-    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
-                                                 "spatial")))
+    xs = jax.device_put(x, NamedSharding(
+        mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
     @jax.jit
     def run(z):
@@ -1735,8 +1746,8 @@ def sharded_scat_j1(x, mesh, filters, mode="symmetric", magbias=1e-2,
         if out is not None:
             return out
     hx = "spatial_h" if "spatial_h" in mesh.shape else None
-    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, hx,
-                                                 "spatial")))
+    xs = jax.device_put(x, NamedSharding(
+        mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
     @jax.jit
     def run(z):
@@ -1911,8 +1922,9 @@ def sharded_iswt2d(coeffs, mesh, wave="db2", mode="periodic"):
     if mode not in _CIRCULAR_MODES:
         from pytorch_wavelets_tpu.transforms.dwt import iswt2d
         hx = "spatial_h" if "spatial_h" in mesh.shape else None
-        sh = NamedSharding(mesh, P("data", None, None, hx, "spatial"))
-        cs = [jax.device_put(c, sh) for c in coeffs]
+        cs = [jax.device_put(c, NamedSharding(mesh, _fit_spec(
+                  mesh, ("data", None, None, hx, "spatial"), c.shape)))
+              for c in coeffs]
 
         @jax.jit
         def run(zs):

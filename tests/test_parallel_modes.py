@@ -309,3 +309,25 @@ def test_batch_not_divisible_by_data_axis(mesh, force_matmul):
     s1r = scat_layer_j1(x, filters)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s1r),
                                atol=2e-5)
+
+
+def test_gspmd_fallback_ragged_spatial(mesh):
+    """GSPMD fallbacks degrade per-axis to replication when a spatial
+    dim does not divide its mesh axis (previously device_put raised).
+    Conv path (no forced matmul) on a ragged W."""
+    from pytorch_wavelets_tpu.parallel import sharded_iswt2d
+    from pytorch_wavelets_tpu.transforms.dwt import iswt2d, swt2d
+    m = make_mesh(n_data=2, n_spatial=4)
+    ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    x = jnp.asarray(_rand((2, 1, 32, 126), seed=77))
+    yl, yh = sharded_dtcwt2d(x, m, ff, J=2)
+    ylr, yhr = dtcwt2d(x, ff, J=2)
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(ylr),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yh[0]), np.asarray(yhr[0]),
+                               atol=2e-5)
+    cs = swt2d(x, "db2", J=2, mode="symmetric")
+    ri = sharded_iswt2d(cs, m, "db2", mode="symmetric")
+    rir = iswt2d(cs, "db2", mode="symmetric")
+    np.testing.assert_allclose(np.asarray(ri), np.asarray(rir),
+                               atol=2e-5)
