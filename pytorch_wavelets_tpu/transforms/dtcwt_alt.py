@@ -158,17 +158,38 @@ def icplxdual2d(yl, yh, level1="farras", qshift="qshift_a",
     return _cplxdual_inv(yl, yh, l1, q, mode, m_is_row_tree=False)
 
 
+def _gspmd_apply(fn, tree, mesh):
+    """Run ``fn`` over ``tree`` under GSPMD on ``mesh``: every array
+    leaf is batch-sharded over 'data' (axis 0, replicated when not
+    divisible) and XLA partitions the transform.  The alt-form
+    transforms have no sharded-matmul plan, so mesh= on them is
+    batch-DP only."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    nd = dict(mesh.shape).get("data", 1)
+
+    def put(a):
+        if a is None or not hasattr(a, "ndim") or a.ndim == 0:
+            return a
+        nm = "data" if a.shape[0] % nd == 0 else None
+        return jax.device_put(
+            a, NamedSharding(mesh, P(nm, *([None] * (a.ndim - 1)))))
+
+    return jax.jit(fn)(jax.tree.map(put, tree))
+
+
 class DTCWTForward2(StaticModule):
     """DTCWT as 4 parallel DWTs (reference DTCWTForward2,
     lowlevel2.py:17-82).  Call: x -> (lows [2][2], yh list)."""
-    _fields = ("biort", "qshift", "J", "mode", "_l1", "_q")
+    _fields = ("biort", "qshift", "J", "mode", "_l1", "_q", "mesh")
 
     def __init__(self, biort="farras", qshift="qshift_a", J=3,
-                 mode="symmetric"):
+                 mode="symmetric", mesh=None):
         self._set("biort", biort if isinstance(biort, str) else "custom")
         self._set("qshift", qshift if isinstance(qshift, str) else "custom")
         self._set("J", J)
         self._set("mode", mode)
+        self._set("mesh", mesh)
         l1 = _level1(biort) if isinstance(biort, str) else biort
         q = _qshift(qshift) if isinstance(qshift, str) else qshift
         self._set("_l1", tuple(tuple(map(float, f.ravel())) for f in l1))
@@ -178,19 +199,27 @@ class DTCWTForward2(StaticModule):
         import numpy as np
         l1 = tuple(np.asarray(f) for f in self._l1)
         q = tuple(np.asarray(f) for f in self._q)
-        return _cplxdual_fwd(x, self.J, l1, q, self.mode, mag=False,
-                             m_is_row_tree=True)
+
+        def run(z):
+            return _cplxdual_fwd(z, self.J, l1, q, self.mode, mag=False,
+                                 m_is_row_tree=True)
+
+        if self.mesh is not None:
+            return _gspmd_apply(run, x, self.mesh)
+        return run(x)
 
 
 class DTCWTInverse2(StaticModule):
     """Inverse of :class:`DTCWTForward2` (reference DTCWTInverse2,
     lowlevel2.py:85-154)."""
-    _fields = ("biort", "qshift", "mode", "_l1", "_q")
+    _fields = ("biort", "qshift", "mode", "_l1", "_q", "mesh")
 
-    def __init__(self, biort="farras", qshift="qshift_a", mode="symmetric"):
+    def __init__(self, biort="farras", qshift="qshift_a", mode="symmetric",
+                 mesh=None):
         self._set("biort", biort if isinstance(biort, str) else "custom")
         self._set("qshift", qshift if isinstance(qshift, str) else "custom")
         self._set("mode", mode)
+        self._set("mesh", mesh)
         l1 = _level1(biort) if isinstance(biort, str) else biort
         q = _qshift(qshift) if isinstance(qshift, str) else qshift
         self._set("_l1", tuple(tuple(map(float, f.ravel())) for f in l1))
@@ -201,7 +230,14 @@ class DTCWTInverse2(StaticModule):
         yl, yh = coeffs
         l1 = tuple(np.asarray(f) for f in self._l1)
         q = tuple(np.asarray(f) for f in self._q)
-        return _cplxdual_inv(yl, yh, l1, q, self.mode, m_is_row_tree=True)
+
+        def run(cs):
+            return _cplxdual_inv(cs[0], cs[1], l1, q, self.mode,
+                                 m_is_row_tree=True)
+
+        if self.mesh is not None:
+            return _gspmd_apply(run, (yl, yh), self.mesh)
+        return run((yl, yh))
 
 
 def quad_afb2d(x, h0a, h1a, h0b, h1b, mode="zero"):

@@ -121,3 +121,31 @@ def test_cplxdual_farras_roundtrip():
                         qshift="qshift_a")
     rec = icplxdual2d(yl, yh, level1="farras", qshift="qshift_a")
     np.testing.assert_allclose(np.asarray(rec), x, atol=2e-5)
+
+
+def test_form2_mesh_optin():
+    """DTCWTForward2/Inverse2 mesh= (batch-DP GSPMD — the alt forms
+    have no sharded-matmul plan) matches the single-device transform
+    and round-trips, including a batch that does not divide 'data'."""
+    import jax
+    from pytorch_wavelets_tpu.parallel import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    x = jnp.asarray(_rand((4, 2, 32, 32), seed=83))
+    ylr, yhr = DTCWTForward2(J=2)(x)
+    ylm, yhm = DTCWTForward2(J=2, mesh=mesh)(x)
+    for a, b in zip(jax.tree.leaves(ylr), jax.tree.leaves(ylm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    for a, b in zip(jax.tree.leaves(yhr), jax.tree.leaves(yhm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+    rec = DTCWTInverse2(mesh=mesh)((ylm, yhm))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x),
+                               atol=1e-4)
+    x3 = x[:3]
+    yl3, yh3 = DTCWTForward2(J=2, mesh=mesh)(x3)
+    rec3 = DTCWTInverse2(mesh=mesh)((yl3, yh3))
+    np.testing.assert_allclose(np.asarray(rec3), np.asarray(x3),
+                               atol=1e-4)
