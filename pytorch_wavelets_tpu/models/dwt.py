@@ -119,16 +119,22 @@ class SWTInverse(StaticModule):
     matrices.  (The reference ships only dead code for this,
     dwt/swt_inverse.py.)  ``wave`` must name the *analysis* wavelet used by
     SWTForward (tuples are interpreted as dec filters)."""
-    _fields = ("mode", "_filters", "mesh")
+    _fields = ("mode", "_filters", "_wave", "mesh")
 
     def __init__(self, wave="db1", mode="periodization", mesh=None):
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
+        # keep the name when given one: the sharded circular path needs
+        # the true synthesis bank, which only the name (or an
+        # orthonormal dec tuple) can recover (parallel/sharded.py
+        # _iswt_synth_filters)
+        self._set("_wave", wave if isinstance(wave, str) else None)
         self._set("mesh", mesh)
 
     def __call__(self, coeffs):
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_iswt2d
-            return sharded_iswt2d(coeffs, self.mesh, wave=self._filters,
+            wave = self._wave if self._wave is not None else self._filters
+            return sharded_iswt2d(coeffs, self.mesh, wave=wave,
                                   mode=self.mode)
         return iswt2d(coeffs, self._filters, mode=self.mode)

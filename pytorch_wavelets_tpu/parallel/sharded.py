@@ -22,8 +22,6 @@ Three complementary strategies (SURVEY.md §2.9):
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -329,6 +327,37 @@ def _yh_batch_axis6(o_dim, ri_dim):
     return [i for i in range(6) if i not in (od6, rd, h6, w6)][0]
 
 
+_GSPMD_JIT_CACHE = {}
+
+
+def _static_key(obj):
+    """Hashable deep key of a filters structure (dicts / sequences of
+    tap tuples, small arrays, scalars) for :func:`_cached_gspmd_jit`."""
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _static_key(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple)):
+        return tuple(_static_key(v) for v in obj)
+    if isinstance(obj, np.ndarray):
+        return (obj.shape, obj.tobytes())
+    if hasattr(obj, "dec_lo"):          # Wavelet (ndarray fields)
+        return ("wavelet", obj.name, _static_key(
+            (obj.dec_lo, obj.dec_hi, obj.rec_lo, obj.rec_hi)))
+    return obj
+
+
+def _cached_gspmd_jit(tag, key, make):
+    """One jitted closure per (fallback site, static config).  The GSPMD
+    fallbacks used to rebuild ``jax.jit(fn)`` on every call, so every
+    invocation retraced and recompiled the full transform (10-40 s on
+    TPU); caching on the static configuration restores normal jit-cache
+    behaviour."""
+    k = (tag, key)
+    fn = _GSPMD_JIT_CACHE.get(k)
+    if fn is None:
+        fn = _GSPMD_JIT_CACHE[k] = jax.jit(make())
+    return fn
+
+
 def _fit_spec(mesh, spec, shape):
     """PartitionSpec with axis names dropped (replicated) wherever the
     array dim does not divide the mesh axis — so the GSPMD fallbacks
@@ -518,6 +547,47 @@ def _sharded_dwt2d_mode(x, mesh, wave, J, mode):
     return yl, yh
 
 
+def _synth_out_len(n, L, mode):
+    """Output length of one synthesis merge from ``n`` coefficients
+    (ops/afb_sfb._sfb1d_conv_conv: 2n for periodization, 2n - L + 2
+    otherwise)."""
+    return 2 * n if mode in ("per", "periodization") else 2 * n - L + 2
+
+
+def _none_highs_2d(yl, yh, wave, mode):
+    """Materialize None bandpass entries as the zero arrays the
+    single-device inverse would assume (transforms/dwt.idwt2d: a None
+    level takes the running lowpass size, concrete levels crop it), so
+    the sharded paths honour the same None-as-zeros contract."""
+    L = len(rec_filters(wave)[0])
+    H, W = yl.shape[-2], yl.shape[-1]
+    out = list(yh)
+    for j in range(len(yh) - 1, -1, -1):        # coarse -> fine
+        h = yh[j]
+        if h is None:
+            out[j] = jnp.zeros((yl.shape[0], yl.shape[1], 3, H, W),
+                               yl.dtype)
+        else:
+            H, W = h.shape[-2], h.shape[-1]
+        H, W = _synth_out_len(H, L, mode), _synth_out_len(W, L, mode)
+    return out
+
+
+def _none_highs_1d(x0, highs, wave, mode):
+    """1-D twin of :func:`_none_highs_2d` (transforms/dwt.idwt1d)."""
+    L = len(rec_filters(wave)[0])
+    n = x0.shape[-1]
+    out = list(highs)
+    for j in range(len(highs) - 1, -1, -1):
+        h = highs[j]
+        if h is None:
+            out[j] = jnp.zeros((x0.shape[0], x0.shape[1], n), x0.dtype)
+        else:
+            n = h.shape[-1]
+        n = _synth_out_len(n, L, mode)
+    return out
+
+
 def _sharded_idwt2d_mode(coeffs, mesh, wave, mode):
     """Inverse of :func:`_sharded_dwt2d_mode`: logical coefficients are
     zero-padded to storage outside the shard_map, the embedded synthesis
@@ -527,7 +597,6 @@ def _sharded_idwt2d_mode(coeffs, mesh, wave, mode):
     yl, yh = coeffs
     J = len(yh)
     n_h, n_sp = _mesh_sp(mesh)
-    ref = next(h for h in yh if h is not None)
     sizes_w = tuple(h.shape[-1] if h is not None else None for h in yh)
     sizes_h = tuple(h.shape[-2] if h is not None else None for h in yh)
     if any(s is None for s in sizes_w):
@@ -666,6 +735,9 @@ def sharded_idwt2d(coeffs, mesh, wave="db4", mode="periodization"):
     deep-level gather-resharding like the forward; 'zero' / 'symmetric' /
     'reflect' modes ride the zero-embedded operator path)."""
     yl0, yh0 = coeffs
+    if any(h is None for h in yh0):
+        yh0 = _none_highs_2d(yl0, yh0, wave, mode)
+        coeffs = (yl0, yh0)
     N, nd = yl0.shape[0], _n_data(mesh)
     if N % nd:
         Np = _ceil_to(N, nd)
@@ -786,6 +858,9 @@ def sharded_dwt1d(x, mesh, wave="db4", J=3, mode="periodization"):
 def sharded_idwt1d(coeffs, mesh, wave="db4", mode="periodization"):
     """Inverse of :func:`sharded_dwt1d`."""
     x00, hs0 = coeffs
+    if any(h is None for h in hs0):
+        hs0 = _none_highs_1d(x00, hs0, wave, mode)
+        coeffs = (x00, hs0)
     N, nd = x00.shape[0], _n_data(mesh)
     if N % nd:
         Np = _ceil_to(N, nd)
@@ -927,12 +1002,10 @@ def _dtcwt_yh_spec(o_dim, ri_dim, hx):
     """PartitionSpec of a 6-D bandpass tensor in any o_dim/ri_dim layout:
     H over ``hx`` ('spatial_h' or None), W over 'spatial', batch over
     'data' at whichever axis the stack insertions left it."""
-    od6, rd = o_dim % 6, ri_dim % 6
     _, _, h6, w6 = get_dimensions6(o_dim, ri_dim)
     spec = [None] * 6
     spec[h6], spec[w6] = hx, "spatial"
-    rest = [i for i in range(6) if i not in (od6, rd, h6, w6)]
-    spec[rest[0]] = "data"
+    spec[_yh_batch_axis6(o_dim, ri_dim)] = "data"
     return P(*spec)
 
 
@@ -1635,13 +1708,12 @@ def sharded_dtcwt2d(x, mesh, filters, J=3, mode="symmetric",
     xs = jax.device_put(x, NamedSharding(
         mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
-    @partial(jax.jit,
-             out_shardings=None)
-    def run(z):
-        return dtcwt2d(z, filters, J=J, mode=mode, skip_hps=skip_hps,
-                       include_scale=include_scale, o_dim=o_dim,
-                       ri_dim=ri_dim)
-
+    run = _cached_gspmd_jit(
+        "dtcwt2d", (_static_key(filters), J, mode, skip_hps,
+                    include_scale, o_dim, ri_dim),
+        lambda: lambda z: dtcwt2d(
+            z, filters, J=J, mode=mode, skip_hps=skip_hps,
+            include_scale=include_scale, o_dim=o_dim, ri_dim=ri_dim))
     return run(xs)
 
 
@@ -1684,11 +1756,10 @@ def sharded_idtcwt2d(coeffs, mesh, filters, mode="symmetric", o_dim=2,
                  mesh, _fit_spec(mesh, yh_sp, h.shape)))
              for h in highs]
 
-    @jax.jit
-    def run(l, hs):
-        return idtcwt2d((l, hs), filters, mode=mode, o_dim=o_dim,
-                        ri_dim=ri_dim)
-
+    run = _cached_gspmd_jit(
+        "idtcwt2d", (_static_key(filters), mode, o_dim, ri_dim),
+        lambda: lambda l, hs: idtcwt2d(
+            (l, hs), filters, mode=mode, o_dim=o_dim, ri_dim=ri_dim))
     return run(low, highs)
 
 
@@ -1713,12 +1784,12 @@ def sharded_scat_j2(x, mesh, filters, mode="symmetric", magbias=1e-2,
     xs = jax.device_put(x, NamedSharding(
         mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
-    @jax.jit
-    def run(z):
-        return scat_layer_j2(z, filters, mode=mode, magbias=magbias,
-                             combine_colour=combine_colour,
-                             bandpass_diag=bandpass_diag)
-
+    run = _cached_gspmd_jit(
+        "scat_j2", (_static_key(filters), mode, magbias, combine_colour,
+                    bandpass_diag),
+        lambda: lambda z: scat_layer_j2(
+            z, filters, mode=mode, magbias=magbias,
+            combine_colour=combine_colour, bandpass_diag=bandpass_diag))
     return run(xs)
 
 
@@ -1749,12 +1820,12 @@ def sharded_scat_j1(x, mesh, filters, mode="symmetric", magbias=1e-2,
     xs = jax.device_put(x, NamedSharding(
         mesh, _fit_spec(mesh, ("data", None, hx, "spatial"), x.shape)))
 
-    @jax.jit
-    def run(z):
-        return scat_layer_j1(z, filters, mode=mode, magbias=magbias,
-                             combine_colour=combine_colour,
-                             bandpass_diag=bandpass_diag)
-
+    run = _cached_gspmd_jit(
+        "scat_j1", (_static_key(filters), mode, magbias, combine_colour,
+                    bandpass_diag),
+        lambda: lambda z: scat_layer_j1(
+            z, filters, mode=mode, magbias=magbias,
+            combine_colour=combine_colour, bandpass_diag=bandpass_diag))
     return run(xs)
 
 
@@ -1906,11 +1977,39 @@ def sharded_swt2d(x, mesh, wave="db2", J=2, mode="periodic"):
     return fn(x)
 
 
+def _iswt_synth_filters(wave):
+    """Synthesis bank for the circular sharded-ISWT averaging merge.
+
+    ``wave`` follows the :func:`transforms.dwt.iswt2d` contract — it
+    resolves to the *analysis* filters used by the forward SWT.  Names
+    and Wavelets carry their own synthesis bank; raw tap tuples are
+    accepted when the pair is orthonormal (tight frame:
+    |H0|^2 + |H1|^2 == 2 at every frequency, so the exact synthesis is
+    the time-reversed analysis).  Returns None for non-orthonormal
+    tuples — the caller then falls back to the least-squares GSPMD
+    path, which is exact for any filters."""
+    from pytorch_wavelets_tpu.filters.dwt_coeffs import Wavelet
+    if isinstance(wave, (str, Wavelet)):
+        return rec_filters(wave)
+    dec = dec_filters(wave)
+    for h0, h1 in ((dec[0], dec[1]), (dec[2], dec[3])):
+        spec = (np.abs(np.fft.fft(np.asarray(h0), 256)) ** 2 +
+                np.abs(np.fft.fft(np.asarray(h1), 256)) ** 2)
+        if not np.allclose(spec, 2.0, atol=1e-8):
+            return None
+    return tuple(tuple(np.asarray(f)[::-1]) for f in dec)
+
+
 def sharded_iswt2d(coeffs, mesh, wave="db2", mode="periodic"):
-    """Inverse of :func:`sharded_swt2d`.
+    """Inverse of :func:`sharded_swt2d`.  ``wave`` must resolve to the
+    *analysis* filters used by the forward (same contract as
+    transforms.dwt.iswt2d — tuples are dec filters).
 
     Circular modes run the sharded adjoint-averaging merge (exact for
-    circular boundaries).  Non-circular modes need the least-squares
+    circular boundaries) with the true synthesis bank
+    (:func:`_iswt_synth_filters`).  Non-circular modes — and raw-tuple
+    waves that are not orthonormal, where the synthesis bank cannot be
+    derived from the analysis taps — need the least-squares
     pseudo-inverse operators (transforms.dwt.iswt2d) whose matrices are
     dense, not banded — they cannot halo-shard, so the inverse runs the
     single-device ISWT under GSPMD sharding constraints instead."""
@@ -1919,19 +2018,19 @@ def sharded_iswt2d(coeffs, mesh, wave="db2", mode="periodic"):
         Np = _ceil_to(N, nd)
         cs = [_pad_axis_to(c, Np) for c in coeffs]
         return sharded_iswt2d(cs, mesh, wave=wave, mode=mode)[:N]
-    if mode not in _CIRCULAR_MODES:
+    sf = _iswt_synth_filters(wave) if mode in _CIRCULAR_MODES else None
+    if sf is None:
         from pytorch_wavelets_tpu.transforms.dwt import iswt2d
         hx = "spatial_h" if "spatial_h" in mesh.shape else None
         cs = [jax.device_put(c, NamedSharding(mesh, _fit_spec(
                   mesh, ("data", None, None, hx, "spatial"), c.shape)))
               for c in coeffs]
 
-        @jax.jit
-        def run(zs):
-            return iswt2d(zs, wave, mode=mode)
-
+        run = _cached_gspmd_jit(
+            "iswt2d", (_static_key(wave), mode),
+            lambda: lambda zs: iswt2d(zs, wave, mode=mode))
         return run(cs)
-    g0c, g1c, g0r, g1r = rec_filters(wave)
+    g0c, g1c, g0r, g1r = sf
     J = len(coeffs)
     n_h, n_sp = _mesh_sp(mesh)
     W = coeffs[0].shape[-1]

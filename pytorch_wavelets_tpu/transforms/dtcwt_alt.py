@@ -11,6 +11,7 @@ four trees are four matmul pyramids XLA runs concurrently.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax.numpy as jnp
 
@@ -159,11 +160,13 @@ def icplxdual2d(yl, yh, level1="farras", qshift="qshift_a",
 
 
 def _gspmd_apply(fn, tree, mesh):
-    """Run ``fn`` over ``tree`` under GSPMD on ``mesh``: every array
-    leaf is batch-sharded over 'data' (axis 0, replicated when not
-    divisible) and XLA partitions the transform.  The alt-form
-    transforms have no sharded-matmul plan, so mesh= on them is
-    batch-DP only."""
+    """Run an already-jitted ``fn`` over ``tree`` under GSPMD on
+    ``mesh``: every array leaf is batch-sharded over 'data' (axis 0,
+    replicated when not divisible) and XLA partitions the transform.
+    The alt-form transforms have no sharded-matmul plan, so mesh= on
+    them is batch-DP only.  ``fn`` must be a stable jitted callable
+    (see :func:`_jit_cplxdual`) so repeated calls hit the compile
+    cache instead of retracing."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     nd = dict(mesh.shape).get("data", 1)
@@ -175,7 +178,24 @@ def _gspmd_apply(fn, tree, mesh):
         return jax.device_put(
             a, NamedSharding(mesh, P(nm, *([None] * (a.ndim - 1)))))
 
-    return jax.jit(fn)(jax.tree.map(put, tree))
+    return fn(jax.tree.map(put, tree))
+
+
+@lru_cache(maxsize=None)
+def _jit_cplxdual(J, l1, q, mode, fwd):
+    """Jitted forward/inverse cplxdual closure, cached on the static
+    filter-tap tuples so every DTCWTForward2/Inverse2 call with the
+    same configuration reuses one compiled program (J is ignored for
+    the inverse)."""
+    import jax
+    import numpy as np
+    l1a = tuple(np.asarray(f) for f in l1)
+    qa = tuple(np.asarray(f) for f in q)
+    if fwd:
+        return jax.jit(lambda z: _cplxdual_fwd(
+            z, J, l1a, qa, mode, mag=False, m_is_row_tree=True))
+    return jax.jit(lambda cs: _cplxdual_inv(
+        cs[0], cs[1], l1a, qa, mode, m_is_row_tree=True))
 
 
 class DTCWTForward2(StaticModule):
@@ -196,14 +216,7 @@ class DTCWTForward2(StaticModule):
         self._set("_q", tuple(tuple(map(float, f.ravel())) for f in q))
 
     def __call__(self, x):
-        import numpy as np
-        l1 = tuple(np.asarray(f) for f in self._l1)
-        q = tuple(np.asarray(f) for f in self._q)
-
-        def run(z):
-            return _cplxdual_fwd(z, self.J, l1, q, self.mode, mag=False,
-                                 m_is_row_tree=True)
-
+        run = _jit_cplxdual(self.J, self._l1, self._q, self.mode, True)
         if self.mesh is not None:
             return _gspmd_apply(run, x, self.mesh)
         return run(x)
@@ -226,15 +239,8 @@ class DTCWTInverse2(StaticModule):
         self._set("_q", tuple(tuple(map(float, f.ravel())) for f in q))
 
     def __call__(self, coeffs):
-        import numpy as np
         yl, yh = coeffs
-        l1 = tuple(np.asarray(f) for f in self._l1)
-        q = tuple(np.asarray(f) for f in self._q)
-
-        def run(cs):
-            return _cplxdual_inv(cs[0], cs[1], l1, q, self.mode,
-                                 m_is_row_tree=True)
-
+        run = _jit_cplxdual(0, self._l1, self._q, self.mode, False)
         if self.mesh is not None:
             return _gspmd_apply(run, (yl, yh), self.mesh)
         return run((yl, yh))

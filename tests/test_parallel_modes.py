@@ -331,3 +331,80 @@ def test_gspmd_fallback_ragged_spatial(mesh):
     rir = iswt2d(cs, "db2", mode="symmetric")
     np.testing.assert_allclose(np.asarray(ri), np.asarray(rir),
                                atol=2e-5)
+
+
+def test_swt_inverse_mesh_circular_filters(mesh):
+    """SWTInverse(mesh=) in circular modes must merge with the true
+    synthesis bank, not the stored analysis filters (r3 review fix:
+    rec_filters passed dec tuples through unchanged, silently corrupting
+    every mesh= SWT round-trip).  Conv path; covers orthonormal and
+    biorthogonal names plus raw dec tuples (orthonormal -> reversed-taps
+    fast path; biorthogonal tuple -> least-squares GSPMD fallback)."""
+    from pytorch_wavelets_tpu.transforms.dwt import dec_filters
+    x = jnp.asarray(_rand((4, 2, 32, 32), seed=3))
+    for wave in ["db2", "bior2.2", dec_filters("db2"),
+                 dec_filters("bior2.2")]:
+        fwd = tw.SWTForward(J=2, wave=wave, mesh=mesh)
+        inv = tw.SWTInverse(wave=wave, mesh=mesh)
+        r = inv(fwd(x))
+        np.testing.assert_allclose(np.asarray(r), np.asarray(x),
+                                   atol=3e-5)
+
+
+@pytest.mark.parametrize("mode", ["periodization", "zero"])
+def test_idwt_mesh_none_highs(mesh, force_matmul, mode):
+    """DWTInverse/DWT1DInverse(mesh=) honour the documented
+    None-as-zeros bandpass contract (r3 review fix: the sharded paths
+    dereferenced None), matching single-device shapes and values."""
+    x = jnp.asarray(_rand((4, 2, 32, 32), seed=4))
+    f = tw.DWTForward(J=2, wave="db2", mode=mode, mesh=mesh)
+    g = tw.DWTInverse(wave="db2", mode=mode, mesh=mesh)
+    g0 = tw.DWTInverse(wave="db2", mode=mode)
+    yl, yh = f(x)
+    for nones in ([None, yh[1]], [yh[0], None], [None, None]):
+        r, rr = g((yl, nones)), g0((yl, nones))
+        assert r.shape == rr.shape
+        np.testing.assert_allclose(np.asarray(r), np.asarray(rr),
+                                   atol=2e-5)
+    x1 = jnp.asarray(_rand((4, 2, 64), seed=5))
+    f1 = tw.DWT1DForward(J=2, wave="db2", mode=mode, mesh=mesh)
+    g1 = tw.DWT1DInverse(wave="db2", mode=mode, mesh=mesh)
+    g10 = tw.DWT1DInverse(wave="db2", mode=mode)
+    lo, hs = f1(x1)
+    r, rr = g1((lo, [None, hs[1]])), g10((lo, [None, hs[1]]))
+    assert r.shape == rr.shape
+    np.testing.assert_allclose(np.asarray(r), np.asarray(rr), atol=2e-5)
+
+
+def test_dtcwt_alt_mesh_jit_cached(mesh):
+    """DTCWTForward2/Inverse2 reuse one jitted program per static
+    config instead of retracing every __call__ (r3 review fix)."""
+    from pytorch_wavelets_tpu.transforms.dtcwt_alt import (
+        DTCWTForward2, _jit_cplxdual,
+    )
+    f2 = DTCWTForward2(J=2, mesh=mesh)
+    a = _jit_cplxdual(f2.J, f2._l1, f2._q, f2.mode, True)
+    b = _jit_cplxdual(f2.J, f2._l1, f2._q, f2.mode, True)
+    assert a is b
+    x = jnp.asarray(_rand((4, 2, 32, 32), seed=6))
+    lows, yh = f2(x)
+    lows2, yh2 = DTCWTForward2(J=2)(x)
+    for u, v in zip(jax.tree.leaves((lows, yh)),
+                    jax.tree.leaves((lows2, yh2))):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=2e-5)
+
+
+def test_gspmd_fallback_jit_cached(mesh):
+    """GSPMD fallbacks reuse one jitted closure per static config
+    instead of retracing every call (r3 review fix — fresh jax.jit(fn)
+    per invocation recompiled the whole transform each step)."""
+    from pytorch_wavelets_tpu.parallel import sharded as S
+    m = make_mesh(n_data=2, n_spatial=4)
+    ff = dtcwt_fwd_filters("near_sym_a", "qshift_a")
+    x = jnp.asarray(_rand((2, 1, 32, 126), seed=8))
+    S._GSPMD_JIT_CACHE.clear()
+    sharded_dtcwt2d(x, m, ff, J=2)
+    n1 = len(S._GSPMD_JIT_CACHE)
+    sharded_dtcwt2d(x, m, ff, J=2)
+    assert n1 == len(S._GSPMD_JIT_CACHE) == 1
