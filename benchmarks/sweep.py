@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("-j", "--levels", type=int, default=3)
     p.add_argument("--wave", default="db4")
     p.add_argument("--repeats", type=int, default=50)
+    p.add_argument("--grad", action="store_true",
+                   help="time forward+backward (VJP through the forward "
+                        "coefficients; scatternet: loss on the output)")
     args = p.parse_args(argv)
     if not (args.dwt or args.dtcwt or args.scat):
         args.dtcwt = True
@@ -38,14 +41,27 @@ def main(argv=None):
     import pytorch_wavelets_tpu as tw
     from pytorch_wavelets_tpu.utils.profiling import time_op, mpix_per_s
 
+    def coeff_loss(out):
+        yl, yh = out
+        return (jnp.sum(yl ** 2) +
+                sum(jnp.sum(jnp.abs(h) ** 2) for h in yh
+                    if h is not None and h.size))
+
     if args.dwt:
         fwd = tw.DWTForward(J=args.levels, wave=args.wave)
         inv = tw.DWTInverse(wave=args.wave)
         name, fn = "dwt_e2e", lambda z: inv(fwd(z))
+        if args.grad:
+            g = jax.grad(lambda z: coeff_loss(fwd(z)))
+            name, fn = "dwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z)
     elif args.dtcwt:
         fwd = tw.DTCWTForward(J=args.levels)
         inv = tw.DTCWTInverse()
         name, fn = "dtcwt_e2e", lambda z: inv(fwd(z))
+        if args.grad:
+            g = jax.grad(lambda z: coeff_loss(fwd(z)))
+            name, fn = ("dtcwt_fwd_bwd",
+                        lambda z: z * 0.999 + 1e-12 * g(z))
     else:
         m = tw.ScatLayerj2()
         name = "scatj2_fwd"
@@ -53,6 +69,11 @@ def main(argv=None):
         def fn(z):
             out = m(z)
             return z * 0.999 + 1e-12 * out.mean()
+
+        if args.grad:
+            gs = jax.grad(lambda z: jnp.sum(m(z) ** 2))
+            name, fn = ("scatj2_fwd_bwd",
+                        lambda z: z * 0.999 + 1e-12 * gs(z))
 
     rows = []
     for size in args.sizes:

@@ -14,6 +14,30 @@ def _freeze(obj):
     return bool(obj)
 
 
+def _cast_yh(yh, dtype):
+    """Cast concrete bandpass entries to the storage dtype (the DTCWT
+    representation is 4x-redundant complex — on byte-bound TPU shapes
+    halving its storage halves the dominant HBM traffic)."""
+    import jax.numpy as jnp
+    return [h if h is None or h.size == 0 else h.astype(jnp.dtype(dtype))
+            for h in yh]
+
+
+def _upcast_yh(yh):
+    """Upcast sub-f32 bandpass storage back to f32 at the start of the
+    inverse: XLA fuses the convert into the first consuming op, so the
+    HBM reads stay narrow while the compute path keeps its f32-exact
+    semantics (ops/precision.py)."""
+    import jax.numpy as jnp
+    out = []
+    for h in yh:
+        if (h is not None and h.size and
+                jnp.dtype(h.dtype).itemsize < 4):
+            h = h.astype(jnp.float32)
+        out.append(h)
+    return out
+
+
 def _freeze_filters(d):
     return tuple(sorted(d.items()))
 
@@ -36,15 +60,22 @@ class DTCWTForward(StaticModule):
         include_scale: bool or per-level list — also return lowpasses.
         o_dim / ri_dim: where orientations and real/imag land.
         mode: boundary mode for level 1 ('symmetric' forced at J>=2).
+        coeff_dtype: optional storage dtype for the bandpass pyramid
+            (e.g. 'bfloat16').  The transform still computes at the
+            configured matmul precision (f32-exact by default); only
+            the returned yh is narrowed — a TPU HBM-bandwidth dial the
+            torch reference has no analogue of.  DTCWTInverse upcasts
+            automatically.  Default None (input dtype).
     Call: x (N, C, H, W) -> (yl, yh); yh[j] has shape
     (N, C, 6, H_j, W_j, 2) for the default dims.  Skipped levels give None.
     """
     _fields = ("biort", "qshift", "J", "skip_hps", "include_scale",
-               "o_dim", "ri_dim", "mode", "_filters", "mesh")
+               "o_dim", "ri_dim", "mode", "_filters", "mesh",
+               "coeff_dtype")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a", J=3,
                  skip_hps=False, include_scale=False, o_dim=2, ri_dim=-1,
-                 mode="symmetric", mesh=None):
+                 mode="symmetric", mesh=None, coeff_dtype=None):
         if o_dim % 6 == ri_dim % 6:
             raise ValueError("Orientations and real/imaginary parts must be "
                              "in different dimensions.")
@@ -59,24 +90,32 @@ class DTCWTForward(StaticModule):
         self._set("_filters",
                   _freeze_filters(dtcwt_fwd_filters(biort, qshift)))
         self._set("mesh", mesh)
+        if coeff_dtype is not None:
+            import jax.numpy as jnp
+            coeff_dtype = str(jnp.dtype(coeff_dtype))
+        self._set("coeff_dtype", coeff_dtype)
 
     def __call__(self, x):
         skip = self.skip_hps
         inc = self.include_scale
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_dtcwt2d
-            return sharded_dtcwt2d(
+            yl, yh = sharded_dtcwt2d(
                 x, self.mesh, _thaw_filters(self._filters), J=self.J,
                 mode=self.mode,
                 skip_hps=list(skip) if isinstance(skip, tuple) else skip,
                 include_scale=(list(inc) if isinstance(inc, tuple)
                                else inc),
                 o_dim=self.o_dim, ri_dim=self.ri_dim)
-        return dtcwt2d(
-            x, _thaw_filters(self._filters), J=self.J,
-            skip_hps=list(skip) if isinstance(skip, tuple) else skip,
-            include_scale=list(inc) if isinstance(inc, tuple) else inc,
-            o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
+        else:
+            yl, yh = dtcwt2d(
+                x, _thaw_filters(self._filters), J=self.J,
+                skip_hps=list(skip) if isinstance(skip, tuple) else skip,
+                include_scale=list(inc) if isinstance(inc, tuple) else inc,
+                o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
+        if self.coeff_dtype is not None and yh is not None:  # J=0: yh None
+            yh = _cast_yh(yh, self.coeff_dtype)
+        return yl, yh
 
 
 class DTCWTInverse(StaticModule):
@@ -100,6 +139,9 @@ class DTCWTInverse(StaticModule):
         self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        yl, yh = coeffs
+        if yh is not None:
+            coeffs = (yl, _upcast_yh(yh))
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_idtcwt2d
             return sharded_idtcwt2d(

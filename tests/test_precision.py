@@ -50,3 +50,24 @@ def test_transform_runs_under_each_level():
             ref = rec
         # CPU backend: all levels exact, so results agree tightly
         np.testing.assert_allclose(rec, ref, atol=1e-5)
+
+
+def test_coeff_dtype_bf16_storage():
+    """DTCWTForward(coeff_dtype='bfloat16') narrows only the bandpass
+    storage (an HBM-bandwidth dial on byte-bound TPU shapes); the
+    inverse upcasts automatically and the round-trip error stays at
+    bf16 mantissa level."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 3, 64, 64).astype(np.float32))
+    f = tw.DTCWTForward(J=3, coeff_dtype="bfloat16")
+    g = tw.DTCWTInverse()
+    yl, yh = f(x)
+    assert yl.dtype == jnp.float32
+    assert all(h.dtype == jnp.bfloat16 for h in yh)
+    r = g((yl, yh))
+    rel = float(jnp.abs(r - x).max() / jnp.abs(x).max())
+    assert rel < 5e-3
+    # plain f32 path untouched by the dial's default
+    yl0, yh0 = tw.DTCWTForward(J=3)(x)
+    assert all(h.dtype == jnp.float32 for h in yh0)

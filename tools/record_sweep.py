@@ -32,6 +32,7 @@ MATRIX = [
     ["--dtcwt", "--sizes", "2048", "4096", "--batches", "1", "-j", "3"],
     ["--dwt", "--sizes", "256", "1024", "--batches", "8"],
     ["--scat", "--sizes", "256", "--batches", "8", "32", "64"],
+    ["--scat", "--sizes", "256", "--batches", "8", "32", "--grad"],
 ]
 
 
