@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--qshift", default="qshift_a")
     p.add_argument("--mode", default="symmetric")
     p.add_argument("--repeats", type=int, default=100)
+    p.add_argument("--coeff-dtype", default=None, metavar="DTYPE",
+                   help="DTCWT bandpass storage dtype (e.g. bfloat16) — "
+                        "the HBM-bandwidth dial on byte-bound shapes")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     args = p.parse_args(argv)
@@ -91,7 +94,8 @@ def main(argv=None):
             run("dwt_e2e", lambda z: inv(fwd(z)))
     if args.dtcwt:
         fwd = tw.DTCWTForward(J=args.levels, biort=args.biort,
-                              qshift=args.qshift, mode=args.mode)
+                              qshift=args.qshift, mode=args.mode,
+                              coeff_dtype=args.coeff_dtype)
         inv = tw.DTCWTInverse(biort=args.biort, qshift=args.qshift,
                               mode=args.mode)
         if args.grad:
