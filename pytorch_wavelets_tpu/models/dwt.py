@@ -95,22 +95,38 @@ class SWTForward(StaticModule):
     """J-level stationary (undecimated) 2-D wavelet transform (reference
     SWTForward, dwt/transform2d.py:151-212).
 
+    ``coeff_dtype``: optional storage dtype (e.g. 'bfloat16') for the
+    returned coefficient stack — the undecimated representation is
+    4J full-resolution bands, so narrowing it halves the dominant HBM
+    bytes on TPU; :class:`SWTInverse` upcasts automatically.
+
     Call: x (N, C, H, W) -> list of J arrays (N, C, 4, H, W) ordered
     (LL, LH, HL, HH)."""
-    _fields = ("J", "mode", "_filters", "mesh")
+    _fields = ("J", "mode", "_filters", "mesh", "coeff_dtype")
 
-    def __init__(self, J=1, wave="db1", mode="periodization", mesh=None):
+    def __init__(self, J=1, wave="db1", mode="periodization", mesh=None,
+                 coeff_dtype=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
         self._set("mesh", mesh)
+        if coeff_dtype is not None:
+            import jax.numpy as jnp
+            coeff_dtype = str(jnp.dtype(coeff_dtype))
+        self._set("coeff_dtype", coeff_dtype)
 
     def __call__(self, x):
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_swt2d
-            return sharded_swt2d(x, self.mesh, wave=self._filters,
-                                 J=self.J, mode=self.mode)
-        return swt2d(x, self._filters, J=self.J, mode=self.mode)
+            out = sharded_swt2d(x, self.mesh, wave=self._filters,
+                                J=self.J, mode=self.mode)
+        else:
+            out = swt2d(x, self._filters, J=self.J, mode=self.mode)
+        if self.coeff_dtype is not None:
+            import jax.numpy as jnp
+            dt = jnp.dtype(self.coeff_dtype)
+            out = [c.astype(dt) for c in out]
+        return out
 
 
 class SWTInverse(StaticModule):
@@ -132,6 +148,13 @@ class SWTInverse(StaticModule):
         self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        import jax.numpy as jnp
+        # upcast sub-f32 storage (SWTForward coeff_dtype) — the convert
+        # fuses into the first consuming op, keeping reads narrow while
+        # the merge operators stay f32-exact
+        coeffs = [c.astype(jnp.float32)
+                  if jnp.dtype(c.dtype).itemsize < 4 else c
+                  for c in coeffs]
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_iswt2d
             wave = self._wave if self._wave is not None else self._filters

@@ -71,3 +71,18 @@ def test_coeff_dtype_bf16_storage():
     # plain f32 path untouched by the dial's default
     yl0, yh0 = tw.DTCWTForward(J=3)(x)
     assert all(h.dtype == jnp.float32 for h in yh0)
+
+
+def test_swt_coeff_dtype_bf16_storage():
+    """SWTForward(coeff_dtype='bfloat16') narrows the 4J-band
+    undecimated stack; SWTInverse upcasts and round-trips at bf16
+    mantissa level."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.RandomState(1)
+                    .randn(2, 2, 32, 32).astype(np.float32))
+    f = tw.SWTForward(J=2, wave="db2", coeff_dtype="bfloat16")
+    cs = f(x)
+    assert all(c.dtype == jnp.bfloat16 for c in cs)
+    r = tw.SWTInverse(wave="db2")(cs)
+    rel = float(jnp.abs(r - x).max() / jnp.abs(x).max())
+    assert rel < 2e-2
