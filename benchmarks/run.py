@@ -50,8 +50,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
     import pytorch_wavelets_tpu as tw
-    from pytorch_wavelets_tpu.utils.profiling import (time_op, trace,
-                                                      mpix_per_s)
+    from pytorch_wavelets_tpu.utils.profiling import (coeff_loss, time_op,
+                                                      trace, mpix_per_s)
 
     shape = (args.batch, args.ch, args.size, args.size)
     x = jnp.asarray(np.random.RandomState(0).randn(*shape)
@@ -74,13 +74,6 @@ def main(argv=None):
             "ms": round(dt * 1e3, 4),
             "mpix_per_s": round(mpix_per_s(shape, dt), 1),
         })
-
-    def coeff_loss(out):
-        """Scalar loss on the forward coefficients, so --grad times the
-        forward + its backward only (comparable to the reference's
-        fwd+bwd baselines), not the inverse transform too."""
-        return sum(jnp.sum(v ** 2) for v in jax.tree.leaves(out)
-                   if v is not None)
 
     if args.dwt:
         fwd = tw.DWTForward(J=args.levels, wave=args.wave, mode=args.mode)
@@ -106,7 +99,8 @@ def main(argv=None):
         else:
             run("dtcwt_e2e", lambda z: inv(fwd(z)))
     if args.swt:
-        fwd = tw.SWTForward(J=args.levels, wave=args.wave)
+        fwd = tw.SWTForward(J=args.levels, wave=args.wave,
+                            coeff_dtype=args.coeff_dtype)
         inv = tw.SWTInverse(wave=args.wave)
         run("swt_e2e", lambda z: inv(fwd(z)))
     if args.scat:

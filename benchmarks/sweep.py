@@ -39,13 +39,8 @@ def main(argv=None):
     import numpy as np
     import jax.numpy as jnp
     import pytorch_wavelets_tpu as tw
-    from pytorch_wavelets_tpu.utils.profiling import time_op, mpix_per_s
-
-    def coeff_loss(out):
-        yl, yh = out
-        return (jnp.sum(yl ** 2) +
-                sum(jnp.sum(jnp.abs(h) ** 2) for h in yh
-                    if h is not None and h.size))
+    from pytorch_wavelets_tpu.utils.profiling import (coeff_loss, time_op,
+                                                      mpix_per_s)
 
     if args.dwt:
         fwd = tw.DWTForward(J=args.levels, wave=args.wave)

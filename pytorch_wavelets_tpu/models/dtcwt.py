@@ -23,17 +23,29 @@ def _cast_yh(yh, dtype):
             for h in yh]
 
 
-def _upcast_yh(yh):
-    """Upcast sub-f32 bandpass storage back to f32 at the start of the
-    inverse: XLA fuses the convert into the first consuming op, so the
-    HBM reads stay narrow while the compute path keeps its f32-exact
-    semantics (ops/precision.py)."""
+def _upcast_yh(yh, yl=None):
+    """Upcast dial-narrowed bandpass storage at the start of the inverse.
+
+    The ``coeff_dtype`` dial narrows only ``yh`` (the lowpass stays at the
+    compute dtype), so a *wider* ``yl`` is the unambiguous signal that the
+    sub-f32 bandpasses are storage, not pipeline, dtype: those entries are
+    upcast to ``yl.dtype`` (XLA fuses the convert into the first consuming
+    op, so HBM reads stay narrow while the compute path keeps its
+    f32-exact semantics, ops/precision.py).  A natively narrow pipeline —
+    bf16 ``yl`` *and* ``yh``, no dial involved — is left untouched so the
+    inverse preserves the pipeline dtype (and jitted ``fori_loop`` carries
+    over ``inv(fwd(x))`` keep their type).  ``yl=None`` (discarded
+    lowpass) falls back to the dial interpretation: upcast to f32."""
     import jax.numpy as jnp
+    ref = yl[-1] if isinstance(yl, (list, tuple)) and len(yl) else yl
+    target = jnp.float32 if ref is None else jnp.dtype(ref.dtype)
+    if jnp.dtype(target).itemsize < 4:
+        return yh  # natively narrow pipeline — nothing to upcast
     out = []
     for h in yh:
         if (h is not None and h.size and
                 jnp.dtype(h.dtype).itemsize < 4):
-            h = h.astype(jnp.float32)
+            h = h.astype(target)
         out.append(h)
     return out
 
@@ -141,7 +153,7 @@ class DTCWTInverse(StaticModule):
     def __call__(self, coeffs):
         yl, yh = coeffs
         if yh is not None:
-            coeffs = (yl, _upcast_yh(yh))
+            coeffs = (yl, _upcast_yh(yh, yl))
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_idtcwt2d
             return sharded_idtcwt2d(

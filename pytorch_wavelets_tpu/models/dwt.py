@@ -134,10 +134,19 @@ class SWTInverse(StaticModule):
     boundary mode, via trace-time pseudo-inverses of the analysis operator
     matrices.  (The reference ships only dead code for this,
     dwt/swt_inverse.py.)  ``wave`` must name the *analysis* wavelet used by
-    SWTForward (tuples are interpreted as dec filters)."""
-    _fields = ("mode", "_filters", "_wave", "mesh")
+    SWTForward (tuples are interpreted as dec filters).
 
-    def __init__(self, wave="db1", mode="periodization", mesh=None):
+    ``upcast`` (default True) upcasts sub-f32 coefficient stacks to f32
+    before the merge — the contract of the :class:`SWTForward`
+    ``coeff_dtype`` storage dial, which narrows *all* bands, leaving no
+    in-band signal to tell dial-narrowed storage from a natively-bf16
+    pipeline.  Pipelines that run bf16 end-to-end on purpose should pass
+    ``upcast=False`` to keep the inverse in (and returning) the pipeline
+    dtype."""
+    _fields = ("mode", "_filters", "_wave", "mesh", "upcast")
+
+    def __init__(self, wave="db1", mode="periodization", mesh=None,
+                 upcast=True):
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
         # keep the name when given one: the sharded circular path needs
@@ -146,15 +155,17 @@ class SWTInverse(StaticModule):
         # _iswt_synth_filters)
         self._set("_wave", wave if isinstance(wave, str) else None)
         self._set("mesh", mesh)
+        self._set("upcast", bool(upcast))
 
     def __call__(self, coeffs):
         import jax.numpy as jnp
-        # upcast sub-f32 storage (SWTForward coeff_dtype) — the convert
-        # fuses into the first consuming op, keeping reads narrow while
-        # the merge operators stay f32-exact
-        coeffs = [c.astype(jnp.float32)
-                  if jnp.dtype(c.dtype).itemsize < 4 else c
-                  for c in coeffs]
+        if self.upcast:
+            # upcast sub-f32 storage (SWTForward coeff_dtype) — the
+            # convert fuses into the first consuming op, keeping reads
+            # narrow while the merge operators stay f32-exact
+            coeffs = [c.astype(jnp.float32)
+                      if jnp.dtype(c.dtype).itemsize < 4 else c
+                      for c in coeffs]
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_iswt2d
             wave = self._wave if self._wave is not None else self._filters

@@ -56,6 +56,18 @@ def mpix_per_s(shape, seconds: float) -> float:
     return n / 1e6 / seconds
 
 
+def coeff_loss(out):
+    """Scalar sum-of-squares over every concrete coefficient leaf, so a
+    ``--grad`` benchmark times the forward + its backward only
+    (comparable to the reference's fwd+bwd baselines), not the inverse
+    transform too.  Works for any family's output pytree (DWT/DTCWT
+    tuples, SWT lists), skipping None/skipped entries."""
+    import jax
+    import jax.numpy as jnp
+    return sum(jnp.sum(v ** 2) for v in jax.tree.leaves(out)
+               if v is not None)
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace context; view with TensorBoard/xprof."""

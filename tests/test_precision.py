@@ -86,3 +86,57 @@ def test_swt_coeff_dtype_bf16_storage():
     r = tw.SWTInverse(wave="db2")(cs)
     rel = float(jnp.abs(r - x).max() / jnp.abs(x).max())
     assert rel < 2e-2
+
+
+def test_native_bf16_pipeline_preserved():
+    """A natively-narrow pipeline (bf16 in, no coeff_dtype dial) keeps
+    its dtype through the inverse: yl is bf16 too, which is the
+    unambiguous signal that the narrow yh is pipeline dtype, not
+    dial-narrowed storage — so inv(fwd(x)) is a valid fori_loop carry."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    x = jnp.asarray(np.random.RandomState(2)
+                    .randn(1, 2, 32, 32)).astype(jnp.bfloat16)
+    f = tw.DTCWTForward(J=2)
+    g = tw.DTCWTInverse()
+    yl, yh = f(x)
+    assert yl.dtype == jnp.bfloat16
+    r = g((yl, yh))
+    assert r.dtype == jnp.bfloat16
+    # jitted loop carry keeps its type (the benchmark-chaining pattern)
+    out = jax.jit(lambda z: lax.fori_loop(
+        0, 2, lambda i, a: g(f(a)), z))(x)
+    assert out.dtype == jnp.bfloat16
+
+
+def test_dial_round_trip_returns_f32():
+    """With the dial on (f32 yl, bf16 yh) the inverse upcasts and
+    returns f32 — fori_loop-chainable against an f32 input."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(1, 2, 32, 32).astype(np.float32))
+    f = tw.DTCWTForward(J=2, coeff_dtype="bfloat16")
+    g = tw.DTCWTInverse()
+    assert g(f(x)).dtype == jnp.float32
+    out = jax.jit(lambda z: lax.fori_loop(
+        0, 2, lambda i, a: g(f(a)), z))(x)
+    assert out.dtype == jnp.float32
+
+
+def test_swt_native_bf16_opt_out():
+    """SWT cannot infer dial-vs-native from the stacks (the dial narrows
+    every band), so SWTInverse(upcast=False) is the explicit opt-out
+    that keeps a natively-bf16 pipeline in its dtype."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.RandomState(4)
+                    .randn(1, 1, 16, 16)).astype(jnp.bfloat16)
+    cs = tw.SWTForward(J=1, wave="db2")(x)
+    assert all(c.dtype == jnp.bfloat16 for c in cs)
+    r = tw.SWTInverse(wave="db2", upcast=False)(cs)
+    assert r.dtype == jnp.bfloat16
+    # default keeps the dial contract: sub-f32 stacks upcast to f32
+    r32 = tw.SWTInverse(wave="db2")(cs)
+    assert r32.dtype == jnp.float32
