@@ -37,8 +37,11 @@ def _upcast_yh(yh, yl=None):
     over ``inv(fwd(x))`` keep their type).  ``yl=None`` (discarded
     lowpass) falls back to the dial interpretation: upcast to f32."""
     import jax.numpy as jnp
-    ref = yl[-1] if isinstance(yl, (list, tuple)) and len(yl) else yl
-    target = jnp.float32 if ref is None else jnp.dtype(ref.dtype)
+    ref = yl
+    if isinstance(ref, (list, tuple)):  # include_scale lowpass list
+        ref = ref[-1] if len(ref) else None
+    target = (jnp.dtype(ref.dtype) if hasattr(ref, "dtype")
+              else jnp.float32)
     if jnp.dtype(target).itemsize < 4:
         return yh  # natively narrow pipeline — nothing to upcast
     out = []
