@@ -76,7 +76,8 @@ def main(argv=None):
         })
 
     if args.dwt:
-        fwd = tw.DWTForward(J=args.levels, wave=args.wave, mode=args.mode)
+        fwd = tw.DWTForward(J=args.levels, wave=args.wave, mode=args.mode,
+                            coeff_dtype=args.coeff_dtype)
         inv = tw.DWTInverse(wave=args.wave, mode=args.mode)
         if args.grad:
             g = jax.grad(lambda z: coeff_loss(fwd(z)))

@@ -39,6 +39,48 @@ class StaticModule:
                          if not f.startswith("_"))
         return f"{type(self).__name__}({args})"
 
+
+def cast_bands(yh, dtype):
+    """Cast concrete bandpass entries of a finest-first coefficient list
+    to the storage dtype (the ``coeff_dtype`` HBM dial: on byte-bound
+    TPU shapes the bandpass pyramid is most of the representation's
+    bytes, and narrowing just that storage narrows the dominant HBM
+    traffic while the lowpass keeps the compute dtype)."""
+    import jax.numpy as jnp
+    return [h if h is None or h.size == 0 else h.astype(jnp.dtype(dtype))
+            for h in yh]
+
+
+def upcast_bands(yh, yl=None):
+    """Upcast dial-narrowed bandpass storage at the start of an inverse.
+
+    The ``coeff_dtype`` dial narrows only the bandpasses (the lowpass
+    stays at the compute dtype), so a *wider* lowpass is the unambiguous
+    signal that sub-f32 bandpasses are storage, not pipeline, dtype:
+    those entries are upcast to ``yl.dtype`` (XLA fuses the convert into
+    the first consuming op, so HBM reads stay narrow while the compute
+    path keeps its f32-exact semantics, ops/precision.py).  A natively
+    narrow pipeline — bf16 lowpass *and* bandpasses, no dial involved —
+    is left untouched so the inverse preserves the pipeline dtype (and
+    jitted ``fori_loop`` carries over ``inv(fwd(x))`` keep their type).
+    A missing/non-array lowpass falls back to the dial interpretation:
+    upcast to f32."""
+    import jax.numpy as jnp
+    ref = yl
+    if isinstance(ref, (list, tuple)):  # include_scale lowpass list
+        ref = ref[-1] if len(ref) else None
+    target = (jnp.dtype(ref.dtype) if hasattr(ref, "dtype")
+              else jnp.float32)
+    if jnp.dtype(target).itemsize < 4:
+        return yh  # natively narrow pipeline — nothing to upcast
+    out = []
+    for h in yh:
+        if (h is not None and h.size and
+                jnp.dtype(h.dtype).itemsize < 4):
+            h = h.astype(target)
+        out.append(h)
+    return out
+
     def __eq__(self, other):
         return (type(self) is type(other) and
                 all(getattr(self, f) == getattr(other, f)

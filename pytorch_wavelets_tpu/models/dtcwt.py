@@ -1,7 +1,9 @@
 """DTCWT module-style API (reference: dtcwt/transform2d.py)."""
 from __future__ import annotations
 
-from pytorch_wavelets_tpu.models._base import StaticModule
+from pytorch_wavelets_tpu.models._base import (
+    StaticModule, cast_bands as _cast_yh, upcast_bands as _upcast_yh,
+)
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
     dtcwt2d, dtcwt_fwd_filters, dtcwt_inv_filters, idtcwt2d,
 )
@@ -12,45 +14,6 @@ def _freeze(obj):
     if isinstance(obj, (list, tuple)):
         return tuple(bool(v) for v in obj)
     return bool(obj)
-
-
-def _cast_yh(yh, dtype):
-    """Cast concrete bandpass entries to the storage dtype (the DTCWT
-    representation is 4x-redundant complex — on byte-bound TPU shapes
-    halving its storage halves the dominant HBM traffic)."""
-    import jax.numpy as jnp
-    return [h if h is None or h.size == 0 else h.astype(jnp.dtype(dtype))
-            for h in yh]
-
-
-def _upcast_yh(yh, yl=None):
-    """Upcast dial-narrowed bandpass storage at the start of the inverse.
-
-    The ``coeff_dtype`` dial narrows only ``yh`` (the lowpass stays at the
-    compute dtype), so a *wider* ``yl`` is the unambiguous signal that the
-    sub-f32 bandpasses are storage, not pipeline, dtype: those entries are
-    upcast to ``yl.dtype`` (XLA fuses the convert into the first consuming
-    op, so HBM reads stay narrow while the compute path keeps its
-    f32-exact semantics, ops/precision.py).  A natively narrow pipeline —
-    bf16 ``yl`` *and* ``yh``, no dial involved — is left untouched so the
-    inverse preserves the pipeline dtype (and jitted ``fori_loop`` carries
-    over ``inv(fwd(x))`` keep their type).  ``yl=None`` (discarded
-    lowpass) falls back to the dial interpretation: upcast to f32."""
-    import jax.numpy as jnp
-    ref = yl
-    if isinstance(ref, (list, tuple)):  # include_scale lowpass list
-        ref = ref[-1] if len(ref) else None
-    target = (jnp.dtype(ref.dtype) if hasattr(ref, "dtype")
-              else jnp.float32)
-    if jnp.dtype(target).itemsize < 4:
-        return yh  # natively narrow pipeline — nothing to upcast
-    out = []
-    for h in yh:
-        if (h is not None and h.size and
-                jnp.dtype(h.dtype).itemsize < 4):
-            h = h.astype(target)
-        out.append(h)
-    return out
 
 
 def _freeze_filters(d):

@@ -2,10 +2,19 @@
 dwt/transform1d.py)."""
 from __future__ import annotations
 
-from pytorch_wavelets_tpu.models._base import StaticModule
+from pytorch_wavelets_tpu.models._base import (
+    StaticModule, cast_bands, upcast_bands,
+)
 from pytorch_wavelets_tpu.transforms.dwt import (
     dec_filters, rec_filters, dwt2d, idwt2d, dwt1d, idwt1d, swt2d, iswt2d,
 )
+
+
+def _canon_dtype(coeff_dtype):
+    if coeff_dtype is not None:
+        import jax.numpy as jnp
+        coeff_dtype = str(jnp.dtype(coeff_dtype))
+    return coeff_dtype
 
 
 class DWTForward(StaticModule):
@@ -16,29 +25,43 @@ class DWTForward(StaticModule):
         wave: pywt-style name, Wavelet, or (h0, h1) / 4-tuple of arrays.
         mode: 'zero' | 'symmetric' | 'reflect' | 'periodization' |
             'periodic'.
+        coeff_dtype: optional storage dtype (e.g. 'bfloat16') for the
+            detail bands — yh is 3/4 of the (non-redundant)
+            representation's bytes, so narrowing it cuts the dominant
+            HBM traffic on byte-bound shapes; :class:`DWTInverse`
+            upcasts automatically (lowpass stays at compute dtype).
     Call: x (N, C, H, W) -> (yl, yh) with yh finest-first, each entry
     (N, C, 3, H', W') ordered (LH, HL, HH).
     """
-    _fields = ("J", "mode", "_filters", "mesh")
+    _fields = ("J", "mode", "_filters", "mesh", "coeff_dtype")
 
-    def __init__(self, J=1, wave="db1", mode="zero", mesh=None):
+    def __init__(self, J=1, wave="db1", mode="zero", mesh=None,
+                 coeff_dtype=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
         self._set("mesh", mesh)
+        self._set("coeff_dtype", _canon_dtype(coeff_dtype))
 
     def __call__(self, x):
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_dwt2d
-            return sharded_dwt2d(x, self.mesh, wave=self._filters,
-                                 J=self.J, mode=self.mode)
-        return dwt2d(x, self._filters, J=self.J, mode=self.mode)
+            yl, yh = sharded_dwt2d(x, self.mesh, wave=self._filters,
+                                   J=self.J, mode=self.mode)
+        else:
+            yl, yh = dwt2d(x, self._filters, J=self.J, mode=self.mode)
+        if self.coeff_dtype is not None:
+            yh = cast_bands(yh, self.coeff_dtype)
+        return yl, yh
 
 
 class DWTInverse(StaticModule):
     """2-D inverse DWT (reference DWTInverse, dwt/transform2d.py:77-148).
 
     Call: (yl, yh) -> x.  Any yh entry may be None (treated as zeros).
+    Dial-narrowed detail storage (:class:`DWTForward` ``coeff_dtype``,
+    signalled by a wider yl) is upcast automatically; natively-narrow
+    pipelines keep their dtype.
     """
     _fields = ("mode", "_filters", "mesh")
 
@@ -48,6 +71,9 @@ class DWTInverse(StaticModule):
         self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        yl, yh = coeffs
+        if yh is not None:
+            coeffs = (yl, upcast_bands(yh, yl))
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_idwt2d
             return sharded_idwt2d(coeffs, self.mesh, wave=self._filters,
@@ -57,21 +83,28 @@ class DWTInverse(StaticModule):
 
 class DWT1DForward(StaticModule):
     """J-level 1-D DWT on (N, C, L) (reference DWT1DForward,
-    dwt/transform1d.py:7-59)."""
-    _fields = ("J", "mode", "_filters", "mesh")
+    dwt/transform1d.py:7-59).  ``coeff_dtype`` narrows detail-band
+    storage as in :class:`DWTForward`."""
+    _fields = ("J", "mode", "_filters", "mesh", "coeff_dtype")
 
-    def __init__(self, J=1, wave="db1", mode="zero", mesh=None):
+    def __init__(self, J=1, wave="db1", mode="zero", mesh=None,
+                 coeff_dtype=None):
         self._set("J", J)
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave)[:2])
         self._set("mesh", mesh)
+        self._set("coeff_dtype", _canon_dtype(coeff_dtype))
 
     def __call__(self, x):
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_dwt1d
-            return sharded_dwt1d(x, self.mesh, wave=self._filters,
-                                 J=self.J, mode=self.mode)
-        return dwt1d(x, self._filters, J=self.J, mode=self.mode)
+            yl, yh = sharded_dwt1d(x, self.mesh, wave=self._filters,
+                                   J=self.J, mode=self.mode)
+        else:
+            yl, yh = dwt1d(x, self._filters, J=self.J, mode=self.mode)
+        if self.coeff_dtype is not None:
+            yh = cast_bands(yh, self.coeff_dtype)
+        return yl, yh
 
 
 class DWT1DInverse(StaticModule):
@@ -84,6 +117,9 @@ class DWT1DInverse(StaticModule):
         self._set("mesh", mesh)
 
     def __call__(self, coeffs):
+        yl, yh = coeffs
+        if yh is not None:
+            coeffs = (yl, upcast_bands(yh, yl))
         if self.mesh is not None:
             from pytorch_wavelets_tpu.parallel import sharded_idwt1d
             return sharded_idwt1d(coeffs, self.mesh, wave=self._filters,
@@ -110,10 +146,7 @@ class SWTForward(StaticModule):
         self._set("mode", mode)
         self._set("_filters", dec_filters(wave))
         self._set("mesh", mesh)
-        if coeff_dtype is not None:
-            import jax.numpy as jnp
-            coeff_dtype = str(jnp.dtype(coeff_dtype))
-        self._set("coeff_dtype", coeff_dtype)
+        self._set("coeff_dtype", _canon_dtype(coeff_dtype))
 
     def __call__(self, x):
         if self.mesh is not None:

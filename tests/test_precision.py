@@ -140,3 +140,40 @@ def test_swt_native_bf16_opt_out():
     # default keeps the dial contract: sub-f32 stacks upcast to f32
     r32 = tw.SWTInverse(wave="db2")(cs)
     assert r32.dtype == jnp.float32
+
+
+def test_dwt_coeff_dtype_bf16_storage():
+    """DWTForward(coeff_dtype='bfloat16') narrows the detail bands (3/4
+    of the non-redundant representation); DWTInverse upcasts on the
+    dial's signature and round-trips at bf16 mantissa level, while a
+    natively-bf16 pipeline keeps its dtype."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.RandomState(5)
+                    .randn(2, 2, 32, 32).astype(np.float32))
+    f = tw.DWTForward(J=2, wave="db2", coeff_dtype="bfloat16")
+    g = tw.DWTInverse(wave="db2")
+    yl, yh = f(x)
+    assert yl.dtype == jnp.float32
+    assert all(h.dtype == jnp.bfloat16 for h in yh)
+    r = g((yl, yh))
+    assert r.dtype == jnp.float32
+    rel = float(jnp.abs(r - x).max() / jnp.abs(x).max())
+    assert rel < 2e-2
+    # native narrow pipeline untouched
+    xb = x.astype(jnp.bfloat16)
+    ylb, yhb = tw.DWTForward(J=2, wave="db2")(xb)
+    assert g((ylb, yhb)).dtype == jnp.bfloat16
+
+
+def test_dwt1d_coeff_dtype_bf16_storage():
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.RandomState(6)
+                    .randn(2, 3, 64).astype(np.float32))
+    f = tw.DWT1DForward(J=2, wave="db2", coeff_dtype="bfloat16")
+    g = tw.DWT1DInverse(wave="db2")
+    yl, yh = f(x)
+    assert all(h.dtype == jnp.bfloat16 for h in yh)
+    r = g((yl, yh))
+    assert r.dtype == jnp.float32
+    rel = float(jnp.abs(r - x).max() / jnp.abs(x).max())
+    assert rel < 2e-2
