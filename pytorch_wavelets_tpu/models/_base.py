@@ -40,6 +40,33 @@ class StaticModule:
         return f"{type(self).__name__}({args})"
 
 
+def batch_chunked(fn, args, chunk):
+    """Apply ``fn`` over leading-axis chunks of ``args`` via ``lax.map``.
+
+    XLA schedules the chunks as a sequential loop inside one program, so
+    the live working set is one chunk's pyramids instead of the whole
+    batch's — the dial for (a) the large-batch bandwidth droop, where
+    XLA's fusion/layout choices degrade once the working set outgrows
+    the batch-8..16 regime (docs/performance.md §"The 256/batch-32
+    dip"), and (b) batches whose full intermediates would not fit HBM.
+    Falls back to a single application when the batch does not divide
+    (or does not exceed) ``chunk``.  ``args`` may be any pytree whose
+    leaves share the leading batch axis."""
+    import jax
+    from jax import lax
+    leaves = jax.tree.leaves(args)
+    if not leaves or not chunk:
+        return fn(args)
+    n = leaves[0].shape[0] if leaves[0].ndim else 0
+    if n <= chunk or n % chunk or any(
+            (not a.ndim) or a.shape[0] != n for a in leaves):
+        return fn(args)
+    split = jax.tree.map(
+        lambda a: a.reshape(n // chunk, chunk, *a.shape[1:]), args)
+    out = lax.map(fn, split)
+    return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out)
+
+
 def cast_bands(yh, dtype):
     """Cast concrete bandpass entries of a finest-first coefficient list
     to the storage dtype (the ``coeff_dtype`` HBM dial: on byte-bound

@@ -2,7 +2,8 @@
 from __future__ import annotations
 
 from pytorch_wavelets_tpu.models._base import (
-    StaticModule, cast_bands as _cast_yh, upcast_bands as _upcast_yh,
+    StaticModule, batch_chunked, cast_bands as _cast_yh,
+    upcast_bands as _upcast_yh,
 )
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
     dtcwt2d, dtcwt_fwd_filters, dtcwt_inv_filters, idtcwt2d,
@@ -44,16 +45,21 @@ class DTCWTForward(StaticModule):
             the returned yh is narrowed — a TPU HBM-bandwidth dial the
             torch reference has no analogue of.  DTCWTInverse upcasts
             automatically.  Default None (input dtype).
+        batch_chunk: optional chunk size — run the pyramid as a
+            sequential ``lax.map`` over batch chunks inside one program,
+            bounding the live working set (models/_base.py
+            batch_chunked; single-device, batch-leading layouts only).
     Call: x (N, C, H, W) -> (yl, yh); yh[j] has shape
     (N, C, 6, H_j, W_j, 2) for the default dims.  Skipped levels give None.
     """
     _fields = ("biort", "qshift", "J", "skip_hps", "include_scale",
                "o_dim", "ri_dim", "mode", "_filters", "mesh",
-               "coeff_dtype")
+               "coeff_dtype", "batch_chunk")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a", J=3,
                  skip_hps=False, include_scale=False, o_dim=2, ri_dim=-1,
-                 mode="symmetric", mesh=None, coeff_dtype=None):
+                 mode="symmetric", mesh=None, coeff_dtype=None,
+                 batch_chunk=None):
         if o_dim % 6 == ri_dim % 6:
             raise ValueError("Orientations and real/imaginary parts must be "
                              "in different dimensions.")
@@ -72,6 +78,24 @@ class DTCWTForward(StaticModule):
             import jax.numpy as jnp
             coeff_dtype = str(jnp.dtype(coeff_dtype))
         self._set("coeff_dtype", coeff_dtype)
+        self._set("batch_chunk", batch_chunk)
+
+    def _single(self, x):
+        skip = self.skip_hps
+        inc = self.include_scale
+        yl, yh = dtcwt2d(
+            x, _thaw_filters(self._filters), J=self.J,
+            skip_hps=list(skip) if isinstance(skip, tuple) else skip,
+            include_scale=list(inc) if isinstance(inc, tuple) else inc,
+            o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
+        if self.coeff_dtype is not None and yh is not None:  # J=0: yh None
+            yh = _cast_yh(yh, self.coeff_dtype)
+        return yl, yh
+
+    def _batch_leading(self):
+        # chunking assumes every coefficient leaf keeps the batch on
+        # axis 0, which o_dim/ri_dim = 0 layouts violate
+        return self.o_dim % 6 != 0 and self.ri_dim % 6 != 0
 
     def __call__(self, x):
         skip = self.skip_hps
@@ -85,15 +109,12 @@ class DTCWTForward(StaticModule):
                 include_scale=(list(inc) if isinstance(inc, tuple)
                                else inc),
                 o_dim=self.o_dim, ri_dim=self.ri_dim)
-        else:
-            yl, yh = dtcwt2d(
-                x, _thaw_filters(self._filters), J=self.J,
-                skip_hps=list(skip) if isinstance(skip, tuple) else skip,
-                include_scale=list(inc) if isinstance(inc, tuple) else inc,
-                o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
-        if self.coeff_dtype is not None and yh is not None:  # J=0: yh None
-            yh = _cast_yh(yh, self.coeff_dtype)
-        return yl, yh
+            if self.coeff_dtype is not None and yh is not None:
+                yh = _cast_yh(yh, self.coeff_dtype)
+            return yl, yh
+        if self.batch_chunk and self._batch_leading():
+            return batch_chunked(self._single, x, self.batch_chunk)
+        return self._single(x)
 
 
 class DTCWTInverse(StaticModule):
@@ -103,10 +124,10 @@ class DTCWTInverse(StaticModule):
     Call: (yl, yh) -> x.  None entries (lowpass or any bandpass) are
     treated as zeros."""
     _fields = ("biort", "qshift", "o_dim", "ri_dim", "mode", "_filters",
-               "mesh")
+               "mesh", "batch_chunk")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a", o_dim=2,
-                 ri_dim=-1, mode="symmetric", mesh=None):
+                 ri_dim=-1, mode="symmetric", mesh=None, batch_chunk=None):
         self._set("biort", biort if isinstance(biort, str) else "custom")
         self._set("qshift", qshift if isinstance(qshift, str) else "custom")
         self._set("o_dim", o_dim)
@@ -115,6 +136,7 @@ class DTCWTInverse(StaticModule):
         self._set("_filters",
                   _freeze_filters(dtcwt_inv_filters(biort, qshift)))
         self._set("mesh", mesh)
+        self._set("batch_chunk", batch_chunk)
 
     def __call__(self, coeffs):
         yl, yh = coeffs
@@ -125,5 +147,13 @@ class DTCWTInverse(StaticModule):
             return sharded_idtcwt2d(
                 coeffs, self.mesh, _thaw_filters(self._filters),
                 mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
-        return idtcwt2d(coeffs, _thaw_filters(self._filters),
-                        o_dim=self.o_dim, ri_dim=self.ri_dim, mode=self.mode)
+
+        def inv(c):
+            return idtcwt2d(c, _thaw_filters(self._filters),
+                            o_dim=self.o_dim, ri_dim=self.ri_dim,
+                            mode=self.mode)
+
+        if (self.batch_chunk and
+                self.o_dim % 6 != 0 and self.ri_dim % 6 != 0):
+            return batch_chunked(inv, coeffs, self.batch_chunk)
+        return inv(coeffs)

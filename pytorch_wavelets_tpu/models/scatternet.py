@@ -4,7 +4,7 @@ from __future__ import annotations
 import numpy as np
 
 from pytorch_wavelets_tpu.filters import biort as _biort, qshift as _qshift
-from pytorch_wavelets_tpu.models._base import StaticModule
+from pytorch_wavelets_tpu.models._base import StaticModule, batch_chunked
 from pytorch_wavelets_tpu.ops.dtcwt_fb import prep_taps
 from pytorch_wavelets_tpu.transforms.scatternet import (
     scat_layer_j1, scat_layer_j2,
@@ -21,17 +21,22 @@ class ScatLayer(StaticModule):
 
     Call: x (N, C, H, W) -> (N, 7C, H/2, W/2) with the first C channels the
     lowpass and the next 6C the oriented magnitudes (or (N, 9, ...) when
-    combine_colour)."""
+    combine_colour).
+
+    ``batch_chunk``: optional chunk size — run the layer as a sequential
+    ``lax.map`` over batch chunks inside one program, bounding the live
+    working set (models/_base.py batch_chunked; single-device only)."""
     _fields = ("biort", "mode", "magbias", "combine_colour", "_filters",
-               "_bandpass_diag", "mesh")
+               "_bandpass_diag", "mesh", "batch_chunk")
 
     def __init__(self, biort="near_sym_a", mode="symmetric", magbias=1e-2,
-                 combine_colour=False, mesh=None):
+                 combine_colour=False, mesh=None, batch_chunk=None):
         self._set("biort", biort)
         self._set("mode", mode)
         self._set("magbias", magbias)
         self._set("combine_colour", combine_colour)
         self._set("mesh", mesh)
+        self._set("batch_chunk", batch_chunk)
         if biort == "near_sym_b_bp":
             h0o, _, h1o, _, h2o, _ = _biort(biort)
             filters = (("h0o", _tup(prep_taps(h0o))),
@@ -52,10 +57,13 @@ class ScatLayer(StaticModule):
                                    mode=self.mode, magbias=self.magbias,
                                    combine_colour=self.combine_colour,
                                    bandpass_diag=self._bandpass_diag)
-        return scat_layer_j1(x, dict(self._filters), mode=self.mode,
-                             magbias=self.magbias,
-                             combine_colour=self.combine_colour,
-                             bandpass_diag=self._bandpass_diag)
+        return batch_chunked(
+            lambda z: scat_layer_j1(
+                z, dict(self._filters), mode=self.mode,
+                magbias=self.magbias,
+                combine_colour=self.combine_colour,
+                bandpass_diag=self._bandpass_diag),
+            x, self.batch_chunk)
 
 
 class ScatLayerj2(StaticModule):
@@ -63,13 +71,18 @@ class ScatLayerj2(StaticModule):
     scatternet/layers.py:82-172).
 
     Call: x (N, C, H, W) -> (N, 49C, H/4, W/4) (or (N, 51, ...) when
-    combine_colour)."""
+    combine_colour).
+
+    ``batch_chunk``: optional chunk size — run the net as a sequential
+    ``lax.map`` over batch chunks inside one program, bounding the live
+    working set at the reference's deployment shape (128, 3, 256, 256)
+    (models/_base.py batch_chunked; single-device only)."""
     _fields = ("biort", "qshift", "mode", "magbias", "combine_colour",
-               "_filters", "_bandpass_diag", "mesh")
+               "_filters", "_bandpass_diag", "mesh", "batch_chunk")
 
     def __init__(self, biort="near_sym_a", qshift="qshift_a",
                  mode="symmetric", magbias=1e-2, combine_colour=False,
-                 mesh=None):
+                 mesh=None, batch_chunk=None):
         self._set("biort", biort)
         self._set("qshift", qshift)
         self._set("mode", mode)
@@ -104,6 +117,7 @@ class ScatLayerj2(StaticModule):
             self._set("_bandpass_diag", False)
         self._set("_filters", filters)
         self._set("mesh", mesh)
+        self._set("batch_chunk", batch_chunk)
 
     def __call__(self, x):
         if self.mesh is not None:
@@ -112,7 +126,10 @@ class ScatLayerj2(StaticModule):
                                    mode=self.mode, magbias=self.magbias,
                                    combine_colour=self.combine_colour,
                                    bandpass_diag=self._bandpass_diag)
-        return scat_layer_j2(x, dict(self._filters), mode=self.mode,
-                             magbias=self.magbias,
-                             combine_colour=self.combine_colour,
-                             bandpass_diag=self._bandpass_diag)
+        return batch_chunked(
+            lambda z: scat_layer_j2(
+                z, dict(self._filters), mode=self.mode,
+                magbias=self.magbias,
+                combine_colour=self.combine_colour,
+                bandpass_diag=self._bandpass_diag),
+            x, self.batch_chunk)

@@ -100,3 +100,65 @@ def test_grad_of_vmap_dwt():
     g = jax.jit(jax.grad(loss))(xs)
     assert g.shape == xs.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_batch_chunk_dtcwt_matches():
+    """batch_chunk=k runs the pyramid as a sequential lax.map over batch
+    chunks (working-set dial) — results identical to the plain path."""
+    x = _x(6, (8, 2, 16, 16))
+    f0, g0 = tw.DTCWTForward(J=2), tw.DTCWTInverse()
+    f1 = tw.DTCWTForward(J=2, batch_chunk=4)
+    g1 = tw.DTCWTInverse(batch_chunk=4)
+    yl0, yh0 = f0(x)
+    yl1, yh1 = jax.jit(f1)(x)
+    np.testing.assert_allclose(np.asarray(yl0), np.asarray(yl1), atol=1e-5)
+    for a, b in zip(yh0, yh1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    r0 = g0((yl0, yh0))
+    r1 = jax.jit(g1)((yl1, yh1))
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
+
+
+def test_batch_chunk_fallbacks():
+    """Non-divisible batches and non-batch-leading layouts fall back to
+    the single-program path rather than mis-chunking."""
+    x = _x(7, (6, 2, 16, 16))
+    # batch 6 not divisible by 4 -> fallback
+    f = tw.DTCWTForward(J=1, batch_chunk=4)
+    yl, yh = f(x)
+    yl0, yh0 = tw.DTCWTForward(J=1)(x)
+    np.testing.assert_allclose(np.asarray(yl), np.asarray(yl0), atol=1e-5)
+    # o_dim=0 puts orientations on axis 0 (batch N=6 == 6 orientations,
+    # the trap case) -> layout guard must refuse to chunk
+    f0 = tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1, batch_chunk=3)
+    g0 = tw.DTCWTInverse(o_dim=0, ri_dim=-1, batch_chunk=3)
+    ylo, yho = f0(x)
+    ref_ylo, ref_yho = tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1)(x)
+    np.testing.assert_allclose(np.asarray(yho[0]), np.asarray(ref_yho[0]),
+                               atol=1e-5)
+    r = g0((ylo, yho))
+    np.testing.assert_allclose(
+        np.asarray(r),
+        np.asarray(tw.DTCWTInverse(o_dim=0, ri_dim=-1)((ylo, yho))),
+        atol=1e-5)
+
+
+def test_batch_chunk_scatternet_matches():
+    x = _x(8, (8, 3, 32, 32))
+    s0 = tw.ScatLayerj2()
+    s1 = tw.ScatLayerj2(batch_chunk=2)
+    np.testing.assert_allclose(np.asarray(s0(x)),
+                               np.asarray(jax.jit(s1)(x)), atol=1e-5)
+    j0 = tw.ScatLayer()
+    j1 = tw.ScatLayer(batch_chunk=4)
+    np.testing.assert_allclose(np.asarray(j0(x)),
+                               np.asarray(jax.jit(j1)(x)), atol=1e-5)
+
+
+def test_batch_chunk_grad_matches():
+    x = _x(9, (4, 1, 16, 16))
+    s0 = tw.ScatLayerj2()
+    s1 = tw.ScatLayerj2(batch_chunk=2)
+    g0 = jax.grad(lambda z: jnp.sum(s0(z) ** 2))(x)
+    g1 = jax.jit(jax.grad(lambda z: jnp.sum(s1(z) ** 2)))(x)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-4)
