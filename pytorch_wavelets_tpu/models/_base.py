@@ -39,6 +39,24 @@ class StaticModule:
                          if not f.startswith("_"))
         return f"{type(self).__name__}({args})"
 
+    def __eq__(self, other):
+        return (type(self) is type(other) and
+                all(getattr(self, f) == getattr(other, f)
+                    for f in self._fields))
+
+    def __hash__(self):
+        return hash((type(self).__name__,) +
+                    tuple(getattr(self, f) for f in self._fields))
+
+
+def canon_dtype(coeff_dtype):
+    """Canonicalize a user-supplied ``coeff_dtype`` to a hashable string
+    (StaticModule fields are static jit-cache aux data)."""
+    if coeff_dtype is not None:
+        import jax.numpy as jnp
+        coeff_dtype = str(jnp.dtype(coeff_dtype))
+    return coeff_dtype
+
 
 def batch_chunked(fn, args, chunk):
     """Apply ``fn`` over leading-axis chunks of ``args`` via ``lax.map``.
@@ -54,6 +72,8 @@ def batch_chunked(fn, args, chunk):
     leaves share the leading batch axis."""
     import jax
     from jax import lax
+    if chunk and (not isinstance(chunk, int) or chunk < 0):
+        raise ValueError(f"batch_chunk must be a positive int, got {chunk!r}")
     leaves = jax.tree.leaves(args)
     if not leaves or not chunk:
         return fn(args)
@@ -107,12 +127,3 @@ def upcast_bands(yh, yl=None):
             h = h.astype(target)
         out.append(h)
     return out
-
-    def __eq__(self, other):
-        return (type(self) is type(other) and
-                all(getattr(self, f) == getattr(other, f)
-                    for f in self._fields))
-
-    def __hash__(self):
-        return hash((type(self).__name__,) +
-                    tuple(getattr(self, f) for f in self._fields))

@@ -2,7 +2,7 @@
 from __future__ import annotations
 
 from pytorch_wavelets_tpu.models._base import (
-    StaticModule, batch_chunked, cast_bands as _cast_yh,
+    StaticModule, batch_chunked, canon_dtype, cast_bands as _cast_yh,
     upcast_bands as _upcast_yh,
 )
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
@@ -74,10 +74,7 @@ class DTCWTForward(StaticModule):
         self._set("_filters",
                   _freeze_filters(dtcwt_fwd_filters(biort, qshift)))
         self._set("mesh", mesh)
-        if coeff_dtype is not None:
-            import jax.numpy as jnp
-            coeff_dtype = str(jnp.dtype(coeff_dtype))
-        self._set("coeff_dtype", coeff_dtype)
+        self._set("coeff_dtype", canon_dtype(coeff_dtype))
         self._set("batch_chunk", batch_chunk)
 
     def _single(self, x):
@@ -139,20 +136,27 @@ class DTCWTInverse(StaticModule):
         self._set("batch_chunk", batch_chunk)
 
     def __call__(self, coeffs):
-        yl, yh = coeffs
-        if yh is not None:
-            coeffs = (yl, _upcast_yh(yh, yl))
-        if self.mesh is not None:
-            from pytorch_wavelets_tpu.parallel import sharded_idtcwt2d
-            return sharded_idtcwt2d(
-                coeffs, self.mesh, _thaw_filters(self._filters),
-                mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
-
         def inv(c):
+            # upcast inside the chunk body: under batch_chunk the
+            # narrow storage must stay narrow as the lax.map carry and
+            # widen per chunk, or the full-batch f32 pyramid would be
+            # materialized outside the scan — exactly the working set
+            # the dial bounds
+            cyl, cyh = c
+            if cyh is not None:
+                c = (cyl, _upcast_yh(cyh, cyl))
             return idtcwt2d(c, _thaw_filters(self._filters),
                             o_dim=self.o_dim, ri_dim=self.ri_dim,
                             mode=self.mode)
 
+        if self.mesh is not None:
+            yl, yh = coeffs
+            if yh is not None:
+                coeffs = (yl, _upcast_yh(yh, yl))
+            from pytorch_wavelets_tpu.parallel import sharded_idtcwt2d
+            return sharded_idtcwt2d(
+                coeffs, self.mesh, _thaw_filters(self._filters),
+                mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
         if (self.batch_chunk and
                 self.o_dim % 6 != 0 and self.ri_dim % 6 != 0):
             return batch_chunked(inv, coeffs, self.batch_chunk)

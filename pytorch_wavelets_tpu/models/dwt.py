@@ -3,18 +3,11 @@ dwt/transform1d.py)."""
 from __future__ import annotations
 
 from pytorch_wavelets_tpu.models._base import (
-    StaticModule, cast_bands, upcast_bands,
+    StaticModule, canon_dtype as _canon_dtype, cast_bands, upcast_bands,
 )
 from pytorch_wavelets_tpu.transforms.dwt import (
     dec_filters, rec_filters, dwt2d, idwt2d, dwt1d, idwt1d, swt2d, iswt2d,
 )
-
-
-def _canon_dtype(coeff_dtype):
-    if coeff_dtype is not None:
-        import jax.numpy as jnp
-        coeff_dtype = str(jnp.dtype(coeff_dtype))
-    return coeff_dtype
 
 
 class DWTForward(StaticModule):
@@ -156,9 +149,7 @@ class SWTForward(StaticModule):
         else:
             out = swt2d(x, self._filters, J=self.J, mode=self.mode)
         if self.coeff_dtype is not None:
-            import jax.numpy as jnp
-            dt = jnp.dtype(self.coeff_dtype)
-            out = [c.astype(dt) for c in out]
+            out = cast_bands(out, self.coeff_dtype)
         return out
 
 

@@ -162,3 +162,35 @@ def test_batch_chunk_grad_matches():
     g0 = jax.grad(lambda z: jnp.sum(s0(z) ** 2))(x)
     g1 = jax.jit(jax.grad(lambda z: jnp.sum(s1(z) ** 2)))(x)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-4)
+
+
+def test_batch_chunk_force_matmul_matches():
+    """The chunk body must also be correct on the TPU operator-matmul /
+    composed-pyramid paths (CPU default exercises only the conv path):
+    force the matmul path and compare chunked vs plain inside lax.map.
+    Covers trace-time operator probing occurring inside the scan-body
+    trace (all matrices are built at trace time, before lax.map lowers)."""
+    from pytorch_wavelets_tpu.ops import banded
+    banded.set_operator_matmul(True)
+    try:
+        x = _x(10, (8, 2, 32, 32))
+        f0, g0 = tw.DTCWTForward(J=2), tw.DTCWTInverse()
+        f1 = tw.DTCWTForward(J=2, batch_chunk=4)
+        g1 = tw.DTCWTInverse(batch_chunk=4)
+        yl0, yh0 = f0(x)
+        yl1, yh1 = jax.jit(f1)(x)
+        np.testing.assert_allclose(np.asarray(yl0), np.asarray(yl1),
+                                   atol=1e-5)
+        for a, b in zip(yh0, yh1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+        r1 = jax.jit(g1)((yl1, yh1))
+        np.testing.assert_allclose(np.asarray(g0((yl0, yh0))),
+                                   np.asarray(r1), atol=1e-5)
+        s0 = tw.ScatLayerj2()
+        s1 = tw.ScatLayerj2(batch_chunk=4)
+        np.testing.assert_allclose(np.asarray(s0(x[:, :1])),
+                                   np.asarray(jax.jit(s1)(x[:, :1])),
+                                   atol=1e-5)
+    finally:
+        banded.set_operator_matmul(None)
