@@ -129,3 +129,43 @@ def test_fuzz_dwt1d(seed):
         np.testing.assert_allclose(
             a, b, atol=5e-5,
             err_msg=f"wave={wave} mode={mode} J={J} L={L}")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_dials(seed):
+    """coeff_dtype x batch_chunk x mode interactions: the dials must be
+    semantics-preserving (chunk exactly; dtype to storage tolerance) on
+    both the conv and operator-matmul paths."""
+    rng = np.random.RandomState(7000 + seed)
+    fam = ("dwt", "dtcwt", "swt")[rng.randint(3)]
+    N = int(rng.choice([2, 4, 8]))
+    H = int(rng.randint(3, 9)) * 8
+    W = int(rng.randint(3, 9)) * 8
+    J = int(rng.randint(1, 3))
+    cd = rng.randint(2) == 1
+    chunk = int(rng.choice([0, 2, N]))  # 0: off; N: no-op fallback
+    x = jnp.asarray(rng.randn(N, 2, H, W).astype(np.float32))
+    kw = {"coeff_dtype": "bfloat16"} if cd else {}
+
+    if fam == "dwt":
+        mode = MODES[rng.randint(len(MODES))]
+        base = tw.DWTInverse(wave="db2", mode=mode)(
+            tw.DWTForward(J=J, wave="db2", mode=mode)(x))
+        out = tw.DWTInverse(wave="db2", mode=mode)(
+            tw.DWTForward(J=J, wave="db2", mode=mode, **kw)(x))
+    elif fam == "dtcwt":
+        base = tw.DTCWTInverse()(tw.DTCWTForward(J=J)(x))
+        out = tw.DTCWTInverse(batch_chunk=chunk or None)(
+            tw.DTCWTForward(J=J, batch_chunk=chunk or None, **kw)(x))
+    else:
+        mode = ("periodization", "symmetric")[rng.randint(2)]
+        base = tw.SWTInverse(wave="db2", mode=mode)(
+            tw.SWTForward(J=J, wave="db2", mode=mode)(x))
+        out = tw.SWTInverse(wave="db2", mode=mode)(
+            tw.SWTForward(J=J, wave="db2", mode=mode, **kw)(x))
+
+    tol = 5e-2 if cd else 1e-5
+    scale = float(np.abs(np.asarray(base)).max()) or 1.0
+    err = float(np.abs(np.asarray(out) - np.asarray(base)).max()) / scale
+    assert err < tol, (fam, N, H, W, J, cd, chunk, err)
+    assert out.dtype == base.dtype
