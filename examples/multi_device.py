@@ -58,6 +58,18 @@ def main():
         rec3 = rec3[:, :, :125, :251]   # longer (reference semantics)
         print("module-API (mesh=, mode='zero', odd size) err:",
               float(jnp.abs(rec3 - x_odd).max()))
+
+        # DTCWT and scatternet ride the same mesh= opt-in (spatially
+        # sharded composed pyramids; past the composed cap a per-level
+        # sharded plan takes over for giant images)
+        dt_f = tw.DTCWTForward(J=2, mesh=mesh)
+        dt_i = tw.DTCWTInverse(mesh=mesh)
+        rec4 = dt_i(dt_f(x))
+        print("sharded DTCWT reconstruction err:",
+              float(jnp.abs(rec4 - x).max()))
+        scat = tw.ScatLayerj2(mesh=mesh)
+        z = scat(x)
+        print("sharded ScatLayerj2 out:", tuple(z.shape))
     finally:
         banded.set_operator_matmul(None)
 
