@@ -1,0 +1,208 @@
+"""Drop-in parity of the torch compat layer vs the reference package.
+
+Both sides are torch-in/torch-out here: the compat modules
+(pytorch_wavelets_tpu.compat.torch) are compared against the actual
+reference modules on identical tensors — values, output structures, and
+input gradients (through the JAX-VJP autograd bridge).
+"""
+import numpy as np
+import pytest
+
+import jax.tree_util as jtu
+
+from tests.reference_oracle import load_reference
+
+ATOL = 1e-5
+GTOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+@pytest.fixture(scope="module")
+def compat(ref):
+    # import after the oracle shims are installed (pywt etc.)
+    from pytorch_wavelets_tpu.compat import torch as compat_torch
+    return compat_torch
+
+
+def _rand(shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def _run_with_grad(torch, module, x_np, weight_seed=7):
+    """Apply module, return (outputs, input grad) under a fixed random
+    linear loss so every output leaf contributes to the gradient."""
+    x = torch.from_numpy(x_np.copy()).requires_grad_(True)
+    out = module(x)
+    leaves = jtu.tree_leaves(out)
+    rng = np.random.RandomState(weight_seed)
+    loss = sum(
+        (t * torch.from_numpy(rng.randn(*t.shape).astype(np.float32))).sum()
+        for t in leaves)
+    loss.backward()
+    return out, x.grad.numpy()
+
+
+def _assert_tree_close(out, ref_out, atol=ATOL):
+    a_leaves, a_tree = jtu.tree_flatten(out)
+    b_leaves, b_tree = jtu.tree_flatten(ref_out)
+    assert a_tree == b_tree, (a_tree, b_tree)
+    for a, b in zip(a_leaves, b_leaves):
+        np.testing.assert_allclose(a.detach().numpy(), b.detach().numpy(),
+                                   atol=atol)
+
+
+@pytest.mark.parametrize("mode", ["zero", "symmetric", "periodization"])
+def test_dwt2d_parity_and_grads(ref, compat, mode):
+    torch, pw = ref
+    x = _rand((2, 3, 31, 33))
+    ours, g_ours = _run_with_grad(
+        torch, compat.DWTForward(J=2, wave="db3", mode=mode), x)
+    theirs, g_ref = _run_with_grad(
+        torch, pw.DWTForward(J=2, wave="db3", mode=mode), x)
+    _assert_tree_close(ours, theirs)
+    np.testing.assert_allclose(g_ours, g_ref, atol=GTOL)
+
+    # inverse parity + grads, driven from the reference's coefficients
+    yl, yh = theirs
+    coeffs = (yl.detach(), [h.detach() for h in yh])
+    rec_ours, rec_ref = (compat.DWTInverse(wave="db3", mode=mode)(coeffs),
+                         pw.DWTInverse(wave="db3", mode=mode)(coeffs))
+    np.testing.assert_allclose(rec_ours.detach().numpy(),
+                               rec_ref.detach().numpy(), atol=ATOL)
+
+
+def test_dwt1d_parity(ref, compat):
+    torch, pw = ref
+    x = _rand((2, 3, 101))
+    ours, g_ours = _run_with_grad(
+        torch, compat.DWT1DForward(J=3, wave="sym4"), x)
+    theirs, g_ref = _run_with_grad(
+        torch, pw.DWT1DForward(J=3, wave="sym4"), x)
+    _assert_tree_close(ours, theirs)
+    np.testing.assert_allclose(g_ours, g_ref, atol=GTOL)
+    coeffs = (theirs[0].detach(), [h.detach() for h in theirs[1]])
+    np.testing.assert_allclose(
+        compat.DWT1DInverse(wave="sym4")(coeffs).detach().numpy(),
+        pw.DWT1DInverse(wave="sym4")(coeffs).detach().numpy(), atol=ATOL)
+
+
+def test_swt_parity_and_inverse(ref, compat):
+    torch, _ = ref
+    from pytorch_wavelets.dwt.transform2d import SWTForward as RefSWT
+    x = _rand((1, 2, 32, 32))
+    # the reference SWT only works at J=1 and returns channel-interleaved
+    # (N, 4C, H, W); we keep its *documented* (N, C, 4, H, W) contract
+    y_ref = RefSWT(J=1, wave="db2", mode="symmetric")(
+        torch.from_numpy(x.copy()))[0].reshape(1, 2, 4, 32, 32)
+    y_ours = compat.SWTForward(J=1, wave="db2", mode="symmetric")(
+        torch.from_numpy(x.copy()))[0]
+    np.testing.assert_allclose(y_ours.detach().numpy(), y_ref.numpy(),
+                               atol=ATOL)
+    # the reference's SWTInverse is dead code (SURVEY §2.3); ours works —
+    # pin a multilevel round-trip through the compat layer
+    coeffs = compat.SWTForward(J=2, wave="db2", mode="symmetric")(
+        torch.from_numpy(x.copy()))
+    rec = compat.SWTInverse(wave="db2", mode="symmetric")(coeffs)
+    np.testing.assert_allclose(rec.detach().numpy(), x, atol=1e-4)
+
+
+def test_dtcwt_parity_and_grads(ref, compat):
+    torch, pw = ref
+    x = _rand((2, 3, 30, 30))
+    ours, g_ours = _run_with_grad(torch, compat.DTCWTForward(J=2), x)
+    theirs, g_ref = _run_with_grad(torch, pw.DTCWTForward(J=2), x)
+    _assert_tree_close(ours, theirs)
+    np.testing.assert_allclose(g_ours, g_ref, atol=GTOL)
+
+    yl, yh = theirs
+    coeffs = (yl.detach(), [h.detach() for h in yh])
+    rec_ours = compat.DTCWTInverse()(coeffs)
+    rec_ref = pw.DTCWTInverse()(coeffs)
+    np.testing.assert_allclose(rec_ours.detach().numpy(),
+                               rec_ref.detach().numpy(), atol=ATOL)
+
+
+def test_dtcwt_inverse_grads(ref, compat):
+    torch, pw = ref
+    x = _rand((1, 2, 24, 24))
+    yl, yh = pw.DTCWTForward(J=2)(torch.from_numpy(x.copy()))
+    coeffs = (yl.detach(), [h.detach() for h in yh])
+
+    def run(inv):
+        c = (coeffs[0].clone().requires_grad_(True),
+             [h.clone().requires_grad_(True) for h in coeffs[1]])
+        (inv(c) ** 2).sum().backward()
+        return [c[0].grad.numpy()] + [h.grad.numpy() for h in c[1]]
+
+    for a, b in zip(run(compat.DTCWTInverse()), run(pw.DTCWTInverse())):
+        np.testing.assert_allclose(a, b, atol=GTOL)
+
+
+def test_dtcwt_skip_hps_include_scale_structure(ref, compat):
+    torch, pw = ref
+    x = _rand((1, 2, 32, 32))
+    kw = dict(J=3, skip_hps=[True, False, False], include_scale=True)
+    ours = compat.DTCWTForward(**kw)(torch.from_numpy(x.copy()))
+    theirs = pw.DTCWTForward(**kw)(torch.from_numpy(x.copy()))
+    # include_scale returns (yscale list, yh list); the skipped level is a
+    # 0-dim placeholder exactly like the reference's
+    assert isinstance(ours, tuple) and len(ours) == 2
+    for a, b in zip(jtu.tree_leaves(ours), jtu.tree_leaves(theirs)):
+        assert tuple(a.shape) == tuple(b.shape)
+        if a.numel():
+            np.testing.assert_allclose(a.detach().numpy(),
+                                       b.detach().numpy(), atol=ATOL)
+    # drop-in interop both ways: our coefficients drive the REFERENCE
+    # inverse, and the reference's placeholders drive OUR inverse
+    _, yh = ours
+    rec_ref = pw.DTCWTInverse()((ours[0][-1].detach(),
+                                 [h.detach() for h in yh]))
+    rec_ours = compat.DTCWTInverse()((theirs[0][-1].detach(),
+                                      [h.detach() for h in theirs[1]]))
+    np.testing.assert_allclose(rec_ours.detach().numpy(),
+                               rec_ref.detach().numpy(), atol=ATOL)
+
+
+def test_scatlayer_parity_and_grads(ref, compat):
+    torch, pw = ref
+    x = _rand((2, 3, 32, 32))
+    ours, g_ours = _run_with_grad(torch, compat.ScatLayer(), x)
+    theirs, g_ref = _run_with_grad(torch, pw.ScatLayer(), x)
+    np.testing.assert_allclose(ours.detach().numpy(),
+                               theirs.detach().numpy(), atol=ATOL)
+    np.testing.assert_allclose(g_ours, g_ref, atol=GTOL)
+
+
+def test_scatlayerj2_parity(ref, compat):
+    torch, pw = ref
+    x = _rand((1, 3, 32, 32))
+    ours = compat.ScatLayerj2()(torch.from_numpy(x.copy()))
+    theirs = pw.ScatLayerj2()(torch.from_numpy(x.copy()))
+    np.testing.assert_allclose(ours.detach().numpy(),
+                               theirs.detach().numpy(), atol=ATOL)
+
+
+def test_module_ergonomics(ref, compat):
+    torch, _ = ref
+    m = compat.DWTForward(J=1, wave="haar")
+    # torch.nn.Module conventions a migrating user relies on
+    assert isinstance(m, torch.nn.Module)
+    assert "DWTForward" in repr(type(m)())
+    yl, yh = m(torch.zeros(1, 1, 8, 8))
+    assert isinstance(yh, list) and yl.dtype == torch.float32
+    # aliases from the reference package root
+    assert compat.DWT2D is compat.DWTForward
+    assert compat.IDTCWT is compat.DTCWTInverse
+    with pytest.raises(TypeError):
+        m(np.zeros((1, 1, 8, 8)))
+
+
+def test_no_grad_path(ref, compat):
+    torch, _ = ref
+    with torch.no_grad():
+        yl, yh = compat.DWTForward(J=1)(torch.randn(1, 1, 16, 16))
+    assert not yl.requires_grad
