@@ -172,6 +172,18 @@ class _WrappedModule(torch.nn.Module):
     def extra_repr(self):
         return repr(self._jax_model)
 
+    # torch.save / deepcopy / DataLoader-worker pickling: the bridge holds
+    # jitted closures that cannot pickle — drop it and rebuild on load
+    # (the underlying JAX models are immutable config pytrees, pickle-safe)
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_bridge")
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._bridge = _Bridge(self._jax_model)
+
 
 def _wrap(jax_cls):
     cls = type(jax_cls.__name__, (_WrappedModule,), {

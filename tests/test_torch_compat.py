@@ -206,3 +206,22 @@ def test_no_grad_path(ref, compat):
     with torch.no_grad():
         yl, yh = compat.DWTForward(J=1)(torch.randn(1, 1, 16, 16))
     assert not yl.requires_grad
+
+
+def test_pickle_and_deepcopy(ref, compat, tmp_path):
+    """torch.save/torch.load of whole modules and deepcopy both work —
+    the unpicklable jit bridge is rebuilt on load."""
+    import copy
+    torch, _ = ref
+    m = compat.DTCWTForward(J=2)
+    x = torch.from_numpy(_rand((1, 2, 16, 16)))
+    yl, _ = m(x)
+    p = tmp_path / "m.pt"
+    torch.save(m, p)
+    m2 = torch.load(p, weights_only=False)
+    yl2, _ = m2(x)
+    np.testing.assert_allclose(yl2.numpy(), yl.detach().numpy(), atol=0)
+    m3 = copy.deepcopy(m)
+    yl3, _ = m3(x)
+    np.testing.assert_allclose(yl3.numpy(), yl.detach().numpy(), atol=0)
+    assert len(m.state_dict()) == 0  # no parameters to migrate
