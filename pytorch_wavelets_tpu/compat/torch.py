@@ -3,17 +3,21 @@
 A user of the reference fbcotter/pytorch_wavelets can point their imports
 at this module and keep the rest of their torch code unchanged:
 constructor signatures, input/output structures (``(yl, [yh, ...])``
-tuples, band ordering, orientation order), and gradients all match the
-reference modules (reference pytorch_wavelets/dwt/transform2d.py:12-191,
-dtcwt/transform2d.py, scatternet/layers.py).  The computation itself runs
-on the JAX engine — TPU when one is attached — with torch<->JAX transfer
-staged through host memory.
+tuples, band ordering, orientation order), devices, and gradients all
+match the reference modules (reference
+pytorch_wavelets/dwt/transform2d.py:12-191, dtcwt/transform2d.py,
+scatternet/layers.py).  The computation itself runs on the JAX engine —
+TPU when one is attached — with torch<->JAX transfer staged through host
+memory (outputs and gradients are returned on the input's torch device).
 
 Autodiff bridging: each wrapped module routes its flattened tensor
 arguments through a single :class:`torch.autograd.Function` whose forward
-calls the jitted JAX model and whose backward applies the JAX VJP
-(forward recomputation inside one jitted program, compiled once per input
-signature and cached).  Higher-order torch autodiff is not supported
+calls the jitted JAX model and whose backward applies the JAX VJP to the
+subset of inputs torch asked gradients for (forward recomputation inside
+one jitted program).  The jit caches key on the model config itself
+(models are immutable value-equal pytrees), so equal-config module
+instances — including fresh inline constructions in a training loop —
+share one compilation.  Higher-order torch autodiff is not supported
 through the bridge (one VJP level, like the reference's own custom
 Functions).
 
@@ -32,6 +36,8 @@ This path exists for incremental migration and for parity testing against
 the reference; the native JAX API (``pytorch_wavelets_tpu.DTCWTForward``
 etc.) is the production path — use it to avoid the host staging.
 """
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -57,80 +63,76 @@ def _to_jax(t):
     return jax.numpy.asarray(np.ascontiguousarray(t.cpu().numpy()))
 
 
-def _to_torch(a):
+def _to_torch(a, device):
     a = np.asarray(a)
     if a.dtype.name == "bfloat16":  # ml_dtypes array torch can't ingest
         a = a.astype(np.float32)
     # copy: the buffer JAX hands back is read-only and may be a transfer
     # view; torch.from_numpy requires a writable owner
-    return torch.from_numpy(np.array(a))
+    return torch.from_numpy(np.array(a)).to(device)
 
 
-_TORCH_TO_NP = {
-    torch.float32: np.float32, torch.float64: np.float64,
-    torch.float16: np.float16, torch.bfloat16: np.float32,
-    torch.int32: np.int32, torch.int64: np.int64,
-}
+def _is_placeholder(t):
+    """The reference's marks for a skipped/absent coefficient level: a
+    0-dim tensor (its own forward emits these; its inverse checks
+    ``shape != torch.Size([])``, reference dtcwt/transform2d.py:225,244)
+    or the documented ``torch.tensor([])`` (:206)."""
+    return isinstance(t, torch.Tensor) and (
+        t.ndim == 0 or tuple(t.shape) == (0,))
 
 
-class _Bridge:
-    """jit-cached forward and VJP programs for one configured JAX model."""
+# Module-level jitted programs with the model as a *static* argument:
+# models are immutable, value-equal, hashable config pytrees
+# (models/_base.py:42-49), so every equal-config module instance hits the
+# same compilation cache entry.
 
-    def __init__(self, model):
-        self._model = model
-        self._fwd = jax.jit(self._flat_fwd, static_argnums=0)
-        self._bwd = jax.jit(self._flat_bwd, static_argnums=0)
-        self._out_trees = {}
+@partial(jax.jit, static_argnums=(0, 1))
+def _jax_fwd(model, in_tree, flat_in):
+    return model(tree_unflatten(in_tree, list(flat_in)))
 
-    def _flat_fwd(self, in_tree, flat_in):
-        out = self._model(tree_unflatten(in_tree, list(flat_in)))
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _jax_vjp(model, in_tree, needs, flat_in, flat_ct):
+    """VJP w.r.t. the inputs with needs[i]=True (others are constants)."""
+    def f(diff):
+        it = iter(diff)
+        flat = [next(it) if n else a for a, n in zip(flat_in, needs)]
+        out = model(tree_unflatten(in_tree, flat))
         return tuple(tree_flatten(out)[0])
 
-    def _flat_bwd(self, in_tree, flat_in, flat_ct):
-        def f(flat):
-            out = self._model(tree_unflatten(in_tree, list(flat)))
-            return tuple(tree_flatten(out)[0])
-
-        _, vjp = jax.vjp(f, tuple(flat_in))
-        (grads,) = vjp(tuple(flat_ct))
-        return tuple(grads)
-
-    def out_tree(self, in_tree, torch_leaves):
-        """Output treedef for this input signature (abstract eval, cached)."""
-        sig = tuple((tuple(t.shape), t.dtype) for t in torch_leaves)
-        tree = self._out_trees.get((in_tree, sig))
-        if tree is None:
-            specs = tuple(
-                jax.ShapeDtypeStruct(
-                    tuple(t.shape),
-                    jax.dtypes.canonicalize_dtype(_TORCH_TO_NP[t.dtype]))
-                for t in torch_leaves)
-            out = jax.eval_shape(
-                lambda flat: self._model(tree_unflatten(in_tree, list(flat))),
-                specs)
-            tree = tree_flatten(out)[1]
-            self._out_trees[(in_tree, sig)] = tree
-        return tree
+    _, vjp = jax.vjp(f, tuple(a for a, n in zip(flat_in, needs) if n))
+    (grads,) = vjp(tuple(flat_ct))
+    return grads
 
 
 class _JaxFn(torch.autograd.Function):
     @staticmethod
-    def forward(ctx, bridge, in_tree, *flat_in):
-        ctx.bridge, ctx.in_tree = bridge, in_tree
+    def forward(ctx, model, in_tree, out_box, *flat_in):
+        ctx.model, ctx.in_tree = model, in_tree
         ctx.save_for_backward(*flat_in)
-        jout = bridge._fwd(in_tree, tuple(_to_jax(t) for t in flat_in))
-        ctx.out_meta = [(tuple(a.shape), a.dtype) for a in jout]
-        return tuple(_to_torch(a) for a in jout)
+        out = _jax_fwd(model, in_tree, tuple(_to_jax(t) for t in flat_in))
+        flat_out, out_tree = tree_flatten(out)
+        out_box.append(out_tree)
+        ctx.out_meta = [(tuple(a.shape), a.dtype) for a in flat_out]
+        dev = flat_in[0].device if flat_in else torch.device("cpu")
+        return tuple(_to_torch(a, dev) for a in flat_out)
 
     @staticmethod
     def backward(ctx, *flat_ct):
+        needs = tuple(ctx.needs_input_grad[3:])
+        none_grads = (None, None, None) + (None,) * len(needs)
+        if not any(needs):
+            return none_grads
         jin = tuple(_to_jax(t) for t in ctx.saved_tensors)
         cts = tuple(
             jax.numpy.zeros(shape, dtype) if ct is None else
             _to_jax(ct).astype(dtype)
             for ct, (shape, dtype) in zip(flat_ct, ctx.out_meta))
-        grads = ctx.bridge._bwd(ctx.in_tree, jin, cts)
-        return (None, None) + tuple(_to_torch(g) for g in grads)
+        jgrads = iter(_jax_vjp(ctx.model, ctx.in_tree, needs, jin, cts))
+        grads = tuple(
+            _to_torch(next(jgrads), t.device) if n else None
+            for t, n in zip(ctx.saved_tensors, needs))
+        return (None, None, None) + grads
 
 
 class _WrappedModule(torch.nn.Module):
@@ -141,17 +143,13 @@ class _WrappedModule(torch.nn.Module):
     def __init__(self, *args, **kwargs):
         super().__init__()
         self._jax_model = self._jax_cls(*args, **kwargs)
-        self._bridge = _Bridge(self._jax_model)
 
     def forward(self, x):
-        # the reference marks skipped/absent coefficient levels with empty
-        # or 0-dim placeholder tensors (reference dtcwt/transform2d.py:225,
-        # 244 checks `shape != torch.Size([])`); the native JAX API uses
-        # None — translate on the way in ...
+        # the reference marks skipped/absent coefficient levels with
+        # placeholder tensors; the native JAX API uses None — translate
+        # on the way in ...
         x = jax.tree_util.tree_map(
-            lambda t: None if (isinstance(t, torch.Tensor)
-                               and (t.ndim == 0 or t.numel() == 0)) else t,
-            x)
+            lambda t: None if _is_placeholder(t) else t, x)
         flat_in, in_tree = tree_flatten(x)
         bad = [type(t).__name__ for t in flat_in
                if not isinstance(t, torch.Tensor)]
@@ -160,29 +158,27 @@ class _WrappedModule(torch.nn.Module):
                 f"{type(self).__name__} expects torch tensors "
                 f"(got leaf types {bad}); use the native JAX API "
                 "(pytorch_wavelets_tpu) for JAX arrays")
-        out_tree = self._bridge.out_tree(in_tree, flat_in)
-        flat_out = _JaxFn.apply(self._bridge, in_tree, *flat_in)
-        out = tree_unflatten(out_tree, list(flat_out))
+        out_box = []
+        flat_out = _JaxFn.apply(self._jax_model, in_tree, out_box, *flat_in)
+        out = tree_unflatten(out_box[0], list(flat_out))
         # ... and back out: None -> 0-dim placeholder, so downstream code
         # written against the reference (including its own inverse) works
+        dev = flat_in[0].device if flat_in else torch.device("cpu")
         return jax.tree_util.tree_map(
-            lambda v: torch.zeros(()) if v is None else v, out,
+            lambda v: torch.zeros((), device=dev) if v is None else v, out,
             is_leaf=lambda v: v is None)
 
     def extra_repr(self):
         return repr(self._jax_model)
 
-    # torch.save / deepcopy / DataLoader-worker pickling: the bridge holds
-    # jitted closures that cannot pickle — drop it and rebuild on load
-    # (the underlying JAX models are immutable config pytrees, pickle-safe)
-    def __getstate__(self):
-        state = dict(self.__dict__)
-        state.pop("_bridge")
-        return state
-
-    def __setstate__(self, state):
-        self.__dict__.update(state)
-        self._bridge = _Bridge(self._jax_model)
+    def _load_from_state_dict(self, state_dict, prefix, *args, **kwargs):
+        # checkpoints saved from networks containing REFERENCE wavelet
+        # modules carry their registered filter buffers (h0_col, g0_o,
+        # ...); our filters are config-derived, so consume any keys under
+        # this module's prefix instead of failing strict load_state_dict
+        for k in [k for k in state_dict if k.startswith(prefix)]:
+            del state_dict[k]
+        super()._load_from_state_dict(state_dict, prefix, *args, **kwargs)
 
 
 def _wrap(jax_cls):

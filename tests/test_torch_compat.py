@@ -225,3 +225,60 @@ def test_pickle_and_deepcopy(ref, compat, tmp_path):
     yl3, _ = m3(x)
     np.testing.assert_allclose(yl3.numpy(), yl.detach().numpy(), atol=0)
     assert len(m.state_dict()) == 0  # no parameters to migrate
+
+
+def test_shared_jit_cache_across_instances(ref, compat):
+    """Fresh equal-config instances reuse the same compiled program (the
+    jit caches key on the value-equal model config, not the wrapper)."""
+    import time
+    torch, _ = ref
+    x = torch.from_numpy(_rand((1, 2, 64, 64)))
+    compat.DTCWTForward(J=2)(x)  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        compat.DTCWTForward(J=2)(x)  # fresh instances every call
+    warm = (time.perf_counter() - t0) / 3
+    assert warm < 1.0, f"fresh-instance call took {warm:.2f}s — retraced?"
+
+
+def test_loads_reference_checkpoints(ref, compat):
+    """A state_dict saved from a network built on REFERENCE wavelet
+    modules (which register filter buffers) loads strict into the same
+    network built on compat modules."""
+    torch, pw = ref
+
+    def net(mod):
+        class Net(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.head = torch.nn.Conv2d(3, 3, 1)
+                self.wav = mod.DWTForward(J=2, wave="db2")
+                self.dt = mod.DTCWTForward(J=1)
+            def forward(self, x):
+                yl, _ = self.wav(self.head(x))
+                return yl
+        return Net()
+
+    ref_net, our_net = net(pw), net(compat)
+    sd = ref_net.state_dict()
+    assert any("wav" in k for k in sd)  # reference registered buffers
+    our_net.load_state_dict(sd)  # strict=True: must consume wavelet keys
+    x = torch.from_numpy(_rand((1, 3, 16, 16)))
+    np.testing.assert_allclose(our_net(x).detach().numpy(),
+                               ref_net(x).detach().numpy(), atol=ATOL)
+
+
+def test_partial_requires_grad(ref, compat):
+    """Backward returns grads only for inputs that require them and they
+    match the reference (needs-masked VJP)."""
+    torch, pw = ref
+    x = _rand((1, 2, 16, 16))
+    yl_r, yh_r = pw.DTCWTForward(J=2)(torch.from_numpy(x.copy()))
+
+    def run(inv_cls):
+        yl = yl_r.detach().clone().requires_grad_(True)
+        yh = [h.detach().clone() for h in yh_r]  # frozen highpasses
+        (inv_cls()((yl, yh)) ** 2).sum().backward()
+        return yl.grad.numpy()
+    np.testing.assert_allclose(run(compat.DTCWTInverse),
+                               run(pw.DTCWTInverse), atol=GTOL)
