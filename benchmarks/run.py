@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--coeff-dtype", default=None, metavar="DTYPE",
                    help="DTCWT bandpass storage dtype (e.g. bfloat16) — "
                         "the HBM-bandwidth dial on byte-bound shapes")
+    p.add_argument("--precision", default=None,
+                   choices=["highest", "high", "default"],
+                   help="matmul precision dial (ops/precision.py); "
+                        "composes with --coeff-dtype")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     args = p.parse_args(argv)
@@ -52,6 +56,9 @@ def main(argv=None):
     import pytorch_wavelets_tpu as tw
     from pytorch_wavelets_tpu.utils.profiling import (coeff_loss, time_op,
                                                       trace, mpix_per_s)
+
+    if args.precision:
+        tw.set_matmul_precision(args.precision)
 
     shape = (args.batch, args.ch, args.size, args.size)
     x = jnp.asarray(np.random.RandomState(0).randn(*shape)
