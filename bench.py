@@ -14,11 +14,34 @@ of a trivial kernel is subtracted.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_MPIX_S = 110.7  # GTX1080 end-to-end J=2 (docs/speed.rst:37-40)
+
+
+def _device_probe(timeout_s=300):
+    """Fail fast when the TPU tunnel is dead instead of hanging forever.
+
+    PJRT client init inside *this* process cannot be timed out, so probe
+    device enumeration in a subprocess first.  Any responsive backend
+    (TPU, or CPU on rigs without one) proceeds; only a hang/crash
+    short-circuits.  Returns None when healthy, else an error string."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"device enumeration hung >{timeout_s}s (tunnel down?)"
+    if r.returncode != 0:
+        return f"device enumeration failed: {r.stderr.strip()[-200:]}"
+    return None
 
 
 def _timed_readback(fn, x, iters=8):
@@ -35,6 +58,15 @@ def _timed_readback(fn, x, iters=8):
 
 
 def main():
+    err = _device_probe()
+    if err is not None:
+        print(json.dumps({
+            "metric": "dtcwt_j2_end_to_end_mpix_per_s",
+            "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": err,
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
     from jax import lax
