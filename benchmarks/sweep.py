@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--grad", action="store_true",
                    help="time forward+backward (VJP through the forward "
                         "coefficients; scatternet: loss on the output)")
+    p.add_argument("--coeff-dtype", default=None, metavar="DTYPE",
+                   help="bandpass storage dtype dial (e.g. bfloat16); "
+                        "rows are tagged so diffs don't collide")
+    p.add_argument("--precision", default=None,
+                   choices=["highest", "high", "default"],
+                   help="matmul precision dial")
     args = p.parse_args(argv)
     if not (args.dwt or args.dtcwt or args.scat):
         args.dtcwt = True
@@ -42,15 +48,21 @@ def main(argv=None):
     from pytorch_wavelets_tpu.utils.profiling import (coeff_loss, time_op,
                                                       mpix_per_s)
 
+    if args.precision:
+        tw.set_matmul_precision(args.precision)
+    tag = "".join([f"+{args.coeff_dtype}" if args.coeff_dtype else "",
+                   f"+{args.precision}" if args.precision else ""])
+
     if args.dwt:
-        fwd = tw.DWTForward(J=args.levels, wave=args.wave)
+        fwd = tw.DWTForward(J=args.levels, wave=args.wave,
+                            coeff_dtype=args.coeff_dtype)
         inv = tw.DWTInverse(wave=args.wave)
         name, fn = "dwt_e2e", lambda z: inv(fwd(z))
         if args.grad:
             g = jax.grad(lambda z: coeff_loss(fwd(z)))
             name, fn = "dwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z)
     elif args.dtcwt:
-        fwd = tw.DTCWTForward(J=args.levels)
+        fwd = tw.DTCWTForward(J=args.levels, coeff_dtype=args.coeff_dtype)
         inv = tw.DTCWTInverse()
         name, fn = "dtcwt_e2e", lambda z: inv(fwd(z))
         if args.grad:
@@ -70,6 +82,7 @@ def main(argv=None):
             name, fn = ("scatj2_fwd_bwd",
                         lambda z: z * 0.999 + 1e-12 * gs(z))
 
+    name += tag
     rows = []
     for size in args.sizes:
         for batch in args.batches:

@@ -33,6 +33,10 @@ MATRIX = [
     ["--dwt", "--sizes", "256", "1024", "--batches", "8"],
     ["--scat", "--sizes", "256", "--batches", "8", "32", "64"],
     ["--scat", "--sizes", "256", "--batches", "8", "32", "--grad"],
+    # the storage-dtype dial at the byte-bound shape (rows are tagged
+    # 'dtcwt_e2e+bfloat16' so cross-round diffs keep keys distinct)
+    ["--dtcwt", "--sizes", "2048", "--batches", "4", "-j", "3",
+     "--coeff-dtype", "bfloat16"],
 ]
 
 
