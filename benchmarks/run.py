@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--scat", action="store_true", help="ScatLayerj2 fwd")
     p.add_argument("--forward", action="store_true",
                    help="forward transform only")
+    p.add_argument("--inverse", action="store_true",
+                   help="inverse transform only (coefficients precomputed "
+                        "outside the timed loop; mirrors the reference "
+                        "profiler's --inverse, its tests/profile.py)")
     p.add_argument("--grad", action="store_true",
                    help="include the backward pass")
     p.add_argument("-j", "--levels", type=int, default=2)
@@ -71,6 +75,19 @@ def main(argv=None):
         leaves = [v for v in jax.tree.leaves(out) if v is not None]
         return z * 0.999 + 1e-12 * sum(v.mean() for v in leaves)
 
+    def inverse_only(fwd, inv):
+        """Chainable inverse-only workload: coefficients are computed once
+        outside the loop; each iteration rescales them by a loop-carried
+        scalar so XLA cannot hoist the inverse out as loop-invariant."""
+        coeffs = jax.tree.map(jnp.asarray, fwd(x))
+
+        def fn(z):
+            s = 1.0 + 1e-12 * jnp.mean(z)
+            scaled = jax.tree.map(  # keep each leaf's (dial) dtype
+                lambda v: v * s.astype(v.dtype), coeffs)
+            return z * 0.999 + 1e-6 * inv(scaled)
+        return fn
+
     def run(name, fn):
         if args.trace:
             with trace(args.trace):
@@ -91,6 +108,8 @@ def main(argv=None):
             run("dwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
         elif args.forward:
             run("dwt_fwd", lambda z: consume(z, fwd(z)))
+        elif args.inverse:
+            run("dwt_inv", inverse_only(fwd, inv))
         else:
             run("dwt_e2e", lambda z: inv(fwd(z)))
     if args.dtcwt:
@@ -104,13 +123,20 @@ def main(argv=None):
             run("dtcwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
         elif args.forward:
             run("dtcwt_fwd", lambda z: consume(z, fwd(z)))
+        elif args.inverse:
+            run("dtcwt_inv", inverse_only(fwd, inv))
         else:
             run("dtcwt_e2e", lambda z: inv(fwd(z)))
     if args.swt:
         fwd = tw.SWTForward(J=args.levels, wave=args.wave,
                             coeff_dtype=args.coeff_dtype)
         inv = tw.SWTInverse(wave=args.wave)
-        run("swt_e2e", lambda z: inv(fwd(z)))
+        if args.forward:
+            run("swt_fwd", lambda z: consume(z, fwd(z)))
+        elif args.inverse:
+            run("swt_inv", inverse_only(fwd, inv))
+        else:
+            run("swt_e2e", lambda z: inv(fwd(z)))
     if args.scat:
         m = tw.ScatLayerj2(biort=args.biort, qshift=args.qshift)
         if args.grad:
