@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--coeff-dtype", default=None, metavar="DTYPE",
                    help="DTCWT bandpass storage dtype (e.g. bfloat16) — "
                         "the HBM-bandwidth dial on byte-bound shapes")
+    p.add_argument("--batch-chunk", type=int, default=None,
+                   help="run the transform as a sequential lax.map over "
+                        "batch chunks of this size (working-set dial, "
+                        "models/_base.py:batch_chunked; DTCWT/scat only)")
     p.add_argument("--precision", default=None,
                    choices=["highest", "high", "default"],
                    help="matmul precision dial (ops/precision.py); "
@@ -115,9 +119,11 @@ def main(argv=None):
     if args.dtcwt:
         fwd = tw.DTCWTForward(J=args.levels, biort=args.biort,
                               qshift=args.qshift, mode=args.mode,
-                              coeff_dtype=args.coeff_dtype)
+                              coeff_dtype=args.coeff_dtype,
+                              batch_chunk=args.batch_chunk)
         inv = tw.DTCWTInverse(biort=args.biort, qshift=args.qshift,
-                              mode=args.mode)
+                              mode=args.mode,
+                              batch_chunk=args.batch_chunk)
         if args.grad:
             g = jax.grad(lambda z: coeff_loss(fwd(z)))
             run("dtcwt_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))
@@ -138,7 +144,8 @@ def main(argv=None):
         else:
             run("swt_e2e", lambda z: inv(fwd(z)))
     if args.scat:
-        m = tw.ScatLayerj2(biort=args.biort, qshift=args.qshift)
+        m = tw.ScatLayerj2(biort=args.biort, qshift=args.qshift,
+                           batch_chunk=args.batch_chunk)
         if args.grad:
             g = jax.grad(lambda z: jnp.sum(m(z) ** 2))
             run("scatj2_fwd_bwd", lambda z: z * 0.999 + 1e-12 * g(z))

@@ -123,11 +123,18 @@ def test_batch_chunk_fallbacks():
     """Non-divisible batches and non-batch-leading layouts fall back to
     the single-program path rather than mis-chunking."""
     x = _x(7, (6, 2, 16, 16))
-    # batch 6 not divisible by 4 -> fallback
+    # batch 6 not divisible by 4 -> fallback, and the silently-ignored
+    # dial warns so the user knows chunking is not happening
     f = tw.DTCWTForward(J=1, batch_chunk=4)
-    yl, yh = f(x)
+    with pytest.warns(UserWarning, match="batch_chunk=4 ignored"):
+        yl, yh = f(x)
     yl0, yh0 = tw.DTCWTForward(J=1)(x)
     np.testing.assert_allclose(np.asarray(yl), np.asarray(yl0), atol=1e-5)
+    # batch <= chunk is a benign no-op: must stay silent
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tw.DTCWTForward(J=1, batch_chunk=8)(x)
     # o_dim=0 puts orientations on axis 0 (batch N=6 == 6 orientations,
     # the trap case) -> layout guard must refuse to chunk
     f0 = tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1, batch_chunk=3)

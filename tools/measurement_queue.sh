@@ -1,0 +1,112 @@
+#!/bin/bash
+# Outage-resilient TPU measurement queue (VERDICT r3 task 10).
+#
+# The axon TPU tunnel goes down for hours at a time (it cost round 3 its
+# entire on-chip evidence set).  This script waits for the tunnel, then
+# runs the standing measurement backlog in strict order (one real chip),
+# writing every artifact INTO THE REPO so the round driver's end-of-round
+# commit captures them even if no one is watching.
+#
+# Usage:   bash tools/measurement_queue.sh [ROUND]      # e.g. 04
+# Logs:    /tmp/tpu_queue/NN_name.log
+# Summary: /tmp/tpu_queue/SUMMARY.txt  (mirrored to measurements/QUEUE_SUMMARY.txt)
+#
+# Arm it in the background at round start:
+#   nohup bash tools/measurement_queue.sh 04 >/tmp/tpu_queue/nohup.log 2>&1 &
+set -u
+ROUND=${1:-04}
+cd /root/repo
+mkdir -p /tmp/tpu_queue measurements
+S=/tmp/tpu_queue/SUMMARY.txt
+: > "$S"
+
+note() { echo "$(date '+%m-%d %H:%M:%S') $*" >> "$S"; cp "$S" measurements/QUEUE_SUMMARY.txt; }
+
+probe() {
+  timeout 180 python -c "
+import jax
+d = jax.devices()
+assert d[0].platform != 'cpu', d
+import jax.numpy as jnp
+v = float(jnp.ones((8, 8)).sum())
+assert v == 64.0, v
+" >/dev/null 2>&1
+}
+
+note "waiting for TPU (round $ROUND queue)..."
+while ! probe; do sleep 120; done
+note "TPU candidate up; confirming..."
+sleep 30
+while ! probe; do sleep 120; done
+note "TPU CONFIRMED UP — running queue"
+
+run() {  # run <timeout_s> <name> <cmd...>
+  local t=$1 name=$2; shift 2
+  local log=/tmp/tpu_queue/${name}.log
+  note "START $name"
+  timeout "$t" "$@" > "$log" 2>&1
+  local rc=$?
+  note "END   $name rc=$rc"
+  tail -3 "$log" | sed 's/^/    /' >> "$S"
+  cp "$S" measurements/QUEUE_SUMMARY.txt
+}
+
+# 1. sanity round-trip on chip (verify-skill TPU leg)
+run 600 01_sanity python - <<'EOF'
+import numpy as np, jax, jax.numpy as jnp
+import pytorch_wavelets_tpu as tw
+x = jnp.asarray(np.random.randn(8, 3, 256, 256).astype(np.float32))
+fwd, inv = tw.DTCWTForward(J=3), tw.DTCWTInverse()
+rt = jax.jit(lambda z: inv(fwd(z)))
+r = jax.block_until_ready(rt(x))
+print("PR err:", float(jnp.abs(r - x).max()))
+EOF
+
+# 2. full-surface oracle battery — round-3 numerics (banded-LS ISWT,
+#    inverse upcast, SWT synthesis-filter fix) are unverified on-chip.
+#    Result file lands in the repo (VERDICT r3 missing #2).
+run 4500 02_battery bash -c "python tools/tpu_oracle_battery.py | tee tools/tpu_oracle_battery_results.txt"
+
+# 3. batch-droop probe (VERDICT r3 weak #3 — third time of asking)
+run 3600 03_droop python tools/droop_probe.py --size 256 --batches 8 16 32 64
+
+# 3b. batch_chunk dial A/B at the droop shape (the designed mitigation)
+run 1800 03b_chunk_scat python benchmarks/run.py --scat --size 256 --batch 64 --repeats 30
+run 1800 03c_chunk_scat_c8 python benchmarks/run.py --scat --size 256 --batch 64 --repeats 30 --batch-chunk 8
+run 1800 03d_chunk_dtcwt python benchmarks/run.py --dtcwt --size 256 --batch 64 --repeats 30
+run 1800 03e_chunk_dtcwt_c8 python benchmarks/run.py --dtcwt --size 256 --batch 64 --repeats 30 --batch-chunk 8
+
+# 4. coeff_dtype dial at the byte-bound shapes (VERDICT r3 task 3)
+run 1800 04_cd_2048_f32  python benchmarks/run.py --dtcwt --size 2048 --batch 4 -j 3 --repeats 30
+run 1800 05_cd_2048_bf16 python benchmarks/run.py --dtcwt --size 2048 --batch 4 -j 3 --repeats 30 --coeff-dtype bfloat16
+run 1800 06_cd_4096_f32  python benchmarks/run.py --dtcwt --size 4096 --batch 1 -j 3 --repeats 30
+run 1800 07_cd_4096_bf16 python benchmarks/run.py --dtcwt --size 4096 --batch 1 -j 3 --repeats 30 --coeff-dtype bfloat16
+run 1800 08_cd_swt_1024  python benchmarks/run.py --swt --size 1024 --batch 4 -j 2 --repeats 30
+run 1800 09_cd_swt_1024_bf16 python benchmarks/run.py --swt --size 1024 --batch 4 -j 2 --repeats 30 --coeff-dtype bfloat16
+
+# 5. machine-recorded sweep artifact — committed to repo root
+run 5400 10_record_sweep python tools/record_sweep.py SWEEP_r${ROUND}.json
+
+# 6. giant-image rows, single chip (VERDICT r3 task 4)
+run 2400 11_giant_8192  python benchmarks/run.py --dtcwt --size 8192 --batch 1 -j 2 --repeats 10
+run 3000 12_giant_12288 python benchmarks/run.py --dtcwt --size 12288 --batch 1 -j 2 --repeats 5
+
+# 7. headline bench sanity (driver re-runs bench.py itself at round end)
+run 900 13_bench python bench.py
+
+# 8. combined dials at the byte-bound shape (precision x coeff_dtype)
+run 1800 14_2048_prec_high python benchmarks/run.py --dtcwt --size 2048 --batch 4 -j 3 --repeats 30 --precision high
+run 1800 15_2048_prec_high_bf16 python benchmarks/run.py --dtcwt --size 2048 --batch 4 -j 3 --repeats 30 --precision high --coeff-dtype bfloat16
+
+# 9. forward/inverse bandwidth split at the large-image shape
+run 1800 16_1024_fwd python benchmarks/run.py --dtcwt --forward --size 1024 --batch 4 --ch 3 -j 3 --repeats 50
+run 1800 17_1024_inv python benchmarks/run.py --dtcwt --inverse --size 1024 --batch 4 --ch 3 -j 3 --repeats 50
+run 1800 18_1024_inv_bf16 python benchmarks/run.py --dtcwt --inverse --size 1024 --batch 4 --ch 3 -j 3 --repeats 50 --coeff-dtype bfloat16
+
+# 10. compat bridge overhead on the real chip (VERDICT r3 task 6)
+run 1200 19_compat_overhead python tools/compat_overhead.py
+
+# Mirror all logs into the repo so the evidence survives the round.
+mkdir -p measurements/r${ROUND}_logs
+cp /tmp/tpu_queue/*.log measurements/r${ROUND}_logs/ 2>/dev/null
+note "QUEUE DONE — logs mirrored to measurements/r${ROUND}_logs/"
