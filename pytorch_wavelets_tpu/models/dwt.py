@@ -176,8 +176,20 @@ class SWTInverse(StaticModule):
         # keep the name when given one: the sharded circular path needs
         # the true synthesis bank, which only the name (or an
         # orthonormal dec tuple) can recover (parallel/sharded.py
-        # _iswt_synth_filters)
-        self._set("_wave", wave if isinstance(wave, str) else None)
+        # _iswt_synth_filters).  Wavelet-like objects (ours or pywt's)
+        # carry their name too.
+        name = wave if isinstance(wave, str) else getattr(wave, "name", None)
+        if name is not None and not isinstance(wave, str):
+            # trust a Wavelet object's name only if it resolves in our
+            # bank to the same analysis filters (a custom pywt.Wavelet
+            # may carry an unknown or repurposed name)
+            try:
+                from pytorch_wavelets_tpu.filters import wavelet as _wv
+                if dec_filters(_wv(name)) != self._filters:
+                    name = None
+            except ValueError:
+                name = None
+        self._set("_wave", name if isinstance(name, str) else None)
         self._set("mesh", mesh)
         self._set("upcast", bool(upcast))
 

@@ -1988,8 +1988,11 @@ def _iswt_synth_filters(wave):
     the time-reversed analysis).  Returns None for non-orthonormal
     tuples — the caller then falls back to the least-squares GSPMD
     path, which is exact for any filters."""
-    from pytorch_wavelets_tpu.filters.dwt_coeffs import Wavelet
-    if isinstance(wave, (str, Wavelet)):
+    if isinstance(wave, str) or (
+            hasattr(wave, "rec_lo") and hasattr(wave, "rec_hi")):
+        # names and Wavelet-like objects (ours or a real pywt.Wavelet —
+        # duck-typed like transforms.dwt.rec_filters) carry their own
+        # synthesis bank
         return rec_filters(wave)
     dec = dec_filters(wave)
     for h0, h1 in ((dec[0], dec[1]), (dec[2], dec[3])):

@@ -35,10 +35,19 @@ def _tup(h) -> tuple:
 
 def dec_filters(wave):
     """Resolve ``wave`` (name / Wavelet / 2-tuple / 4-tuple of arrays) to
-    (h0_col, h1_col, h0_row, h1_row) analysis tap tuples, pywt order."""
-    if isinstance(wave, (str, Wavelet)):
+    (h0_col, h1_col, h0_row, h1_row) analysis tap tuples, pywt order.
+
+    Wavelet objects are duck-typed: anything exposing ``.dec_lo/.dec_hi``
+    — our own :class:`Wavelet` or a real ``pywt.Wavelet`` a migrating
+    user still has in hand — is accepted, matching the reference's
+    ``isinstance(wave, pywt.Wavelet)`` branch (reference
+    pytorch_wavelets/dwt/transform2d.py:22-25)."""
+    if isinstance(wave, str):
         w = _resolve_wavelet(wave)
         h0, h1 = _tup(w.dec_lo), _tup(w.dec_hi)
+        return h0, h1, h0, h1
+    if hasattr(wave, "dec_lo") and hasattr(wave, "dec_hi"):
+        h0, h1 = _tup(wave.dec_lo), _tup(wave.dec_hi)
         return h0, h1, h0, h1
     if len(wave) == 2:
         h0, h1 = _tup(wave[0]), _tup(wave[1])
@@ -49,10 +58,14 @@ def dec_filters(wave):
 
 
 def rec_filters(wave):
-    """Synthesis twin of :func:`dec_filters`."""
-    if isinstance(wave, (str, Wavelet)):
+    """Synthesis twin of :func:`dec_filters` (duck-typed on
+    ``.rec_lo/.rec_hi`` the same way)."""
+    if isinstance(wave, str):
         w = _resolve_wavelet(wave)
         g0, g1 = _tup(w.rec_lo), _tup(w.rec_hi)
+        return g0, g1, g0, g1
+    if hasattr(wave, "rec_lo") and hasattr(wave, "rec_hi"):
+        g0, g1 = _tup(wave.rec_lo), _tup(wave.rec_hi)
         return g0, g1, g0, g1
     if len(wave) == 2:
         g0, g1 = _tup(wave[0]), _tup(wave[1])

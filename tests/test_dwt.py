@@ -185,3 +185,47 @@ def test_tiny_axis_long_filter_periodization():
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(rec), rec_r.detach().numpy(),
                                    atol=2e-4)
+
+
+def test_duck_typed_wavelet_object():
+    """A real ``pywt.Wavelet``-like object (anything exposing
+    dec_lo/dec_hi/rec_lo/rec_hi) is accepted everywhere a name is —
+    matching the reference's pywt.Wavelet branch (reference
+    dwt/transform2d.py:22-25).  pywt itself isn't installed here, so a
+    stub with the same attribute surface stands in."""
+    from pytorch_wavelets_tpu.filters import wavelet as resolve
+
+    class FakePywtWavelet:  # attribute surface of pywt.Wavelet
+        def __init__(self, name):
+            w = resolve(name)
+            self.name = name
+            self.dec_lo = list(map(float, w.dec_lo))
+            self.dec_hi = list(map(float, w.dec_hi))
+            self.rec_lo = list(map(float, w.rec_lo))
+            self.rec_hi = list(map(float, w.rec_hi))
+
+    x = jnp.asarray(_rand((2, 3, 32, 32)))
+    for cls_f, cls_i, kw in [
+            (tw.DWTForward, tw.DWTInverse, dict(J=2, mode="symmetric")),
+            (tw.DWT1DForward, tw.DWT1DInverse, dict(J=2)),
+            (tw.SWTForward, tw.SWTInverse, dict(J=2))]:
+        fkw = dict(kw)
+        ikw = {k: v for k, v in kw.items() if k != "J"}
+        duck_out = cls_f(wave=FakePywtWavelet("db3"), **fkw)(
+            x[..., 0, :] if cls_f is tw.DWT1DForward else x)
+        name_out = cls_f(wave="db3", **fkw)(
+            x[..., 0, :] if cls_f is tw.DWT1DForward else x)
+        for a, b in zip(jax.tree.leaves(duck_out),
+                        jax.tree.leaves(name_out)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0)
+        rec_duck = cls_i(wave=FakePywtWavelet("db3"), **ikw)(duck_out)
+        rec_name = cls_i(wave="db3", **ikw)(name_out)
+        np.testing.assert_allclose(np.asarray(rec_duck),
+                                   np.asarray(rec_name), atol=0)
+    # an unknown custom wavelet object also works (pure duck filters)
+    custom = FakePywtWavelet("db2")
+    custom.name = "my_custom_wavelet"
+    yl, yh = tw.DWTForward(J=1, wave=custom)(x)
+    rec = tw.DWTInverse(wave=custom)((yl, yh))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-5)

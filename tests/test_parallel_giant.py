@@ -12,6 +12,8 @@ regime where spatial sharding beats (communication-free) batch-DP."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~19 min of CPU compile for 2 tests
+
 import jax
 import jax.numpy as jnp
 
