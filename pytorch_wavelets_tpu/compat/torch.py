@@ -60,10 +60,25 @@ def _to_jax(t):
     t = t.detach()
     if t.dtype == torch.bfloat16:  # numpy cannot represent bf16
         t = t.to(torch.float32)
+    if t.device.type == "cpu":
+        try:  # zero-copy staging via the dlpack protocol (JAX treats
+            # the shared buffer as read-only; torch keeps ownership)
+            return jax.numpy.from_dlpack(t.contiguous())
+        except Exception:
+            pass
     return jax.numpy.asarray(np.ascontiguousarray(t.cpu().numpy()))
 
 
 def _to_torch(a, device):
+    if str(getattr(a, "dtype", "bfloat16")) != "bfloat16":
+        try:  # zero-copy when torch can ingest the device buffer
+            # directly (CPU<->CPU; fails cleanly for TPU buffers).
+            # Results of a jitted execution are fresh XLA allocations
+            # referenced only through this capsule, so handing them to
+            # torch (including for in-place use) is safe.
+            return torch.from_dlpack(a).to(device)
+        except Exception:
+            pass
     a = np.asarray(a)
     if a.dtype.name == "bfloat16":  # ml_dtypes array torch can't ingest
         a = a.astype(np.float32)

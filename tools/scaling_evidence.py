@@ -171,6 +171,82 @@ def main(argv=None):
         assert not got3.get("all-gather"), "unexpected all-gather"
         assert hlo3 == model3, (hlo3, model3)
 
+        # --- leg 2d: per-level DTCWT INVERSE (incl. a skipped level) --
+        # The synthesis twin of leg 2c, with level 1 skipped so the
+        # None-level lowpass-only branch (VERDICT r3 task 5) is in the
+        # compiled program; model bytes walk the actual plan strategies.
+        from pytorch_wavelets_tpu.parallel.sharded import (
+            _sharded_idtcwt2d_perlevel, _dtcwt_inv_perlevel_shard_plans)
+        from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
+            dtcwt_inv_filters)
+        fi = dtcwt_inv_filters("near_sym_a", "qshift_a")
+        yl4, yh4 = dtcwt2d(x3, f, J=3, mode="symmetric")
+        yh4 = [yh4[0], None, yh4[2]]
+
+        def run_pli(ll, hs):
+            return _sharded_idtcwt2d_perlevel((ll, hs), mesh, fi,
+                                              "symmetric")
+
+        spec6 = NamedSharding(mesh, P("data", None, None, None,
+                                      "spatial", None))
+        yl4s = jax.device_put(yl4, spec)
+        yh4s = [None if h is None else jax.device_put(h, spec6)
+                for h in yh4]
+        txt4 = jax.jit(run_pli).lower(yl4s, yh4s).compile().as_text()
+        got4 = hlo_collectives(txt4)
+        sizes_i = tuple(None if h is None else (h.shape[3], h.shape[4])
+                        for h in yh4)
+        plans_i = _dtcwt_inv_perlevel_shard_plans(
+            fi["g0o"], fi["g1o"], fi["g0a"], fi["g1a"], fi["g0b"],
+            fi["g1b"], "symmetric", (yl4.shape[2], yl4.shape[3]),
+            sizes_i, 8, 1)
+        model4, cur_h = 0, yl4.shape[2]
+        for (lv, ll_row, ll_col), hw in zip(plans_i, sizes_i[::-1]):
+            if hw is not None:
+                for members, row, _col in lv:
+                    if row[0] == "shard":
+                        op = row[1]
+                        model4 += (2 * N * C * (2 * hw[0] * len(members))
+                                   * (op.halo_left + op.halo_right) * 4)
+            if ll_row[0] == "shard":
+                op = ll_row[1]
+                model4 += (N * C * cur_h
+                           * (op.halo_left + op.halo_right) * 4)
+            cur_h = (ll_col[1].shape[0] if ll_col[0] == "local"
+                     else 2 * cur_h)
+        hlo4 = sum(got4.get("collective-permute", []))
+        result["hlo_check_dtcwt_perlevel_inverse"] = {
+            "skipped_level": 1,
+            "collective_permutes": len(got4.get("collective-permute",
+                                                [])),
+            "hlo_bytes": int(hlo4),
+            "model_bytes": int(model4),
+            "all_gather_present": "all-gather" in got4,
+            "all_reduce_present": "all-reduce" in got4,
+        }
+        assert not got4.get("all-gather"), "unexpected all-gather"
+        assert hlo4 == model4, (hlo4, model4)
+
+        # --- leg 2e: per-level ICI thresholds at the giant regime -----
+        # Analytic bytes/FLOPs per device for the W=12288 per-level
+        # forward plans (the regime the path exists for); intensity and
+        # the gbps-for-85% threshold are H-independent (bytes and FLOPs
+        # both scale with H), so H=1024 keeps the plan build cheap.
+        Wg, Hg = 12288, 1024
+        plans_g = _dtcwt_fwd_perlevel_shard_plans(
+            f["h0o"], f["h1o"], f["h0a"], f["h1a"], f["h0b"], f["h1b"],
+            2, (False,) * 2, "symmetric", Hg, Wg, 8, 1)
+        rows_g = []
+        hj = Hg
+        for j, (op, _s2) in enumerate(plans_g):
+            rows_g.append((f"dtcwt perlevel W={Wg} level {j}",
+                           op.halo_left + op.halo_right,
+                           cm._op_row_flops(op), sum(op.col_tiles),
+                           hj / Hg))
+            hj = hj // 2
+        result["comm_model_perlevel_giant"] = cm.analyse(
+            rows_g, N, C, Hg, 8, result["comm_model_tflops_assumed"])
+
     finally:
         banded.set_operator_matmul(None)
 
