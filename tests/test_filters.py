@@ -93,3 +93,31 @@ def test_dtcwt_banks_load():
     assert all(v.shape == (14, 1) for v in q)
     with pytest.raises(ValueError):
         biort("qshift_b")  # wrong bank kind for the requested varnames
+
+
+def test_dmey():
+    """62-tap FIR Meyer ('dmey'): canonical center taps, sqrt2 DC gain,
+    near-orthogonality at the construction's documented ~1e-6 level
+    (the same caveat pywt/MATLAB carry for their dmey), and an
+    end-to-end DWT round trip at that tolerance."""
+    import jax.numpy as jnp
+
+    import pytorch_wavelets_tpu as tw
+    w = wavelet("dmey")
+    h = np.asarray(w.rec_lo)
+    assert len(h) == 62
+    assert abs(h.sum() - np.sqrt(2)) < 1e-4
+    c = int(np.argmax(h))
+    np.testing.assert_allclose(h[c - 1:c + 2],
+                               [0.4440947, 0.7437504, 0.4440947],
+                               atol=2e-7)
+    for k in range(1, 15):
+        assert abs(np.sum(h[: 62 - 2 * k] * h[2 * k:])) < 5e-6, k
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 2, 128, 128).astype(np.float32))
+    rec = tw.DWTInverse(wave="dmey", mode="periodization")(
+        tw.DWTForward(J=2, wave="dmey", mode="periodization")(x))
+    # the ~1e-6 filter non-orthogonality accumulates to ~1e-4 over a
+    # J=2 round trip — inherent to EVERY 62-tap Meyer truncation
+    # (pywt/MATLAB dmey alike), not a transform bug
+    assert float(jnp.abs(rec - x).max()) < 5e-4
