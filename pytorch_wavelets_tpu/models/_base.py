@@ -99,6 +99,17 @@ def batch_chunked(fn, args, chunk):
     return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out)
 
 
+def warn_chunk_dropped(cls_name, reason):
+    """One-line warning when a model-level guard drops the batch_chunk
+    dial entirely (mesh= path, non-batch-leading layout) — the same
+    no-silent-ignore rule batch_chunked applies to non-dividing
+    batches."""
+    import warnings
+    warnings.warn(
+        f"{cls_name}: batch_chunk ignored ({reason}); running unchunked.",
+        stacklevel=3)
+
+
 def cast_bands(yh, dtype):
     """Cast concrete bandpass entries of a finest-first coefficient list
     to the storage dtype (the ``coeff_dtype`` HBM dial: on byte-bound

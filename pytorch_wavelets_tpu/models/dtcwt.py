@@ -3,7 +3,7 @@ from __future__ import annotations
 
 from pytorch_wavelets_tpu.models._base import (
     StaticModule, batch_chunked, canon_dtype, cast_bands as _cast_yh,
-    upcast_bands as _upcast_yh,
+    upcast_bands as _upcast_yh, warn_chunk_dropped,
 )
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
     dtcwt2d, dtcwt_fwd_filters, dtcwt_inv_filters, idtcwt2d,
@@ -98,6 +98,9 @@ class DTCWTForward(StaticModule):
         skip = self.skip_hps
         inc = self.include_scale
         if self.mesh is not None:
+            if self.batch_chunk:
+                warn_chunk_dropped("DTCWTForward",
+                                   "mesh= sharded path does not chunk")
             from pytorch_wavelets_tpu.parallel import sharded_dtcwt2d
             yl, yh = sharded_dtcwt2d(
                 x, self.mesh, _thaw_filters(self._filters), J=self.J,
@@ -109,8 +112,12 @@ class DTCWTForward(StaticModule):
             if self.coeff_dtype is not None and yh is not None:
                 yh = _cast_yh(yh, self.coeff_dtype)
             return yl, yh
-        if self.batch_chunk and self._batch_leading():
-            return batch_chunked(self._single, x, self.batch_chunk)
+        if self.batch_chunk:
+            if self._batch_leading():
+                return batch_chunked(self._single, x, self.batch_chunk)
+            warn_chunk_dropped(
+                "DTCWTForward",
+                "o_dim/ri_dim layout is not batch-leading")
         return self._single(x)
 
 
@@ -150,6 +157,9 @@ class DTCWTInverse(StaticModule):
                             mode=self.mode)
 
         if self.mesh is not None:
+            if self.batch_chunk:
+                warn_chunk_dropped("DTCWTInverse",
+                                   "mesh= sharded path does not chunk")
             yl, yh = coeffs
             if yh is not None:
                 coeffs = (yl, _upcast_yh(yh, yl))
@@ -157,7 +167,10 @@ class DTCWTInverse(StaticModule):
             return sharded_idtcwt2d(
                 coeffs, self.mesh, _thaw_filters(self._filters),
                 mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
-        if (self.batch_chunk and
-                self.o_dim % 6 != 0 and self.ri_dim % 6 != 0):
-            return batch_chunked(inv, coeffs, self.batch_chunk)
+        if self.batch_chunk:
+            if self.o_dim % 6 != 0 and self.ri_dim % 6 != 0:
+                return batch_chunked(inv, coeffs, self.batch_chunk)
+            warn_chunk_dropped(
+                "DTCWTInverse",
+                "o_dim/ri_dim layout is not batch-leading")
         return inv(coeffs)

@@ -4,7 +4,9 @@ from __future__ import annotations
 import numpy as np
 
 from pytorch_wavelets_tpu.filters import biort as _biort, qshift as _qshift
-from pytorch_wavelets_tpu.models._base import StaticModule, batch_chunked
+from pytorch_wavelets_tpu.models._base import (
+    StaticModule, batch_chunked, warn_chunk_dropped,
+)
 from pytorch_wavelets_tpu.ops.dtcwt_fb import prep_taps
 from pytorch_wavelets_tpu.transforms.scatternet import (
     scat_layer_j1, scat_layer_j2,
@@ -52,6 +54,9 @@ class ScatLayer(StaticModule):
 
     def __call__(self, x):
         if self.mesh is not None:
+            if self.batch_chunk:
+                warn_chunk_dropped("ScatLayer",
+                                   "mesh= sharded path does not chunk")
             from pytorch_wavelets_tpu.parallel import sharded_scat_j1
             return sharded_scat_j1(x, self.mesh, dict(self._filters),
                                    mode=self.mode, magbias=self.magbias,
@@ -121,6 +126,9 @@ class ScatLayerj2(StaticModule):
 
     def __call__(self, x):
         if self.mesh is not None:
+            if self.batch_chunk:
+                warn_chunk_dropped("ScatLayerj2",
+                                   "mesh= sharded path does not chunk")
             from pytorch_wavelets_tpu.parallel import sharded_scat_j2
             return sharded_scat_j2(x, self.mesh, dict(self._filters),
                                    mode=self.mode, magbias=self.magbias,

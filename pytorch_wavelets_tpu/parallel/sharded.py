@@ -1672,18 +1672,12 @@ def _sharded_idtcwt2d_perlevel(coeffs, mesh, filters, mode, o_dim=2,
                 or h.shape[ri_dim % 6] != 2):
             return None
         sizes.append((h.shape[h6], h.shape[w6]))
-    if low is None:
-        # zero lowpass at the coarsest level's uncropped size — exactly
-        # the composed plan's yl_hw=None sizing (ll_spec dropped there;
-        # a zero lowpass through the synthesis bank is identical)
-        hb, wb = sizes[-1]
-        href = highs[-1]
-        b6 = _yh_batch_axis6(o_dim, ri_dim)
-        c6 = [i for i in range(6)
-              if i not in (o_dim % 6, ri_dim % 6, h6, w6, b6)][0]
-        low = jnp.zeros((href.shape[b6], href.shape[c6], 2 * hb, 2 * wb),
-                        href.dtype)
-    yl_hw = (low.shape[2], low.shape[3])
+    # absent lowpass: size it as the coarsest level's uncropped 2x (the
+    # composed plan's yl_hw=None rule); the zero array itself is only
+    # materialized after the envelope/plan checks pass, so a fallback
+    # call never pays the (potentially giant) dead allocation
+    yl_hw = ((low.shape[2], low.shape[3]) if low is not None
+             else (2 * sizes[-1][0], 2 * sizes[-1][1]))
     # coarse-first walk (the composed plan's rule): a missing level
     # passes the running lowpass size through uncropped; collect every
     # level's input size for the envelope check
@@ -1706,6 +1700,16 @@ def _sharded_idtcwt2d_perlevel(coeffs, mesh, filters, mode, o_dim=2,
         n_h)
     if plans is None:
         return None
+    if low is None:
+        # zero lowpass through the synthesis bank is identical to the
+        # composed plan's dropped ll_spec — materialized only now that
+        # this path is committed
+        href = highs[-1]
+        b6 = _yh_batch_axis6(o_dim, ri_dim)
+        c6 = [i for i in range(6)
+              if i not in (o_dim % 6, ri_dim % 6, h6, w6, b6)][0]
+        low = jnp.zeros((href.shape[b6], href.shape[c6], yl_hw[0],
+                         yl_hw[1]), href.dtype)
 
     def local(ll, hs):
         for (lv, ll_row, ll_col), h in zip(plans, hs[::-1]):
@@ -2091,8 +2095,23 @@ def _iswt_synth_filters(wave):
             hasattr(wave, "rec_lo") and hasattr(wave, "rec_hi")):
         # names and Wavelet-like objects (ours or a real pywt.Wavelet —
         # duck-typed like transforms.dwt.rec_filters) carry their own
-        # synthesis bank
-        return rec_filters(wave)
+        # synthesis bank — but trust it only if it is actually
+        # perfect-reconstruction.  'dmey' carries a ~1e-6-PR truncated
+        # Meyer bank: the exact sharded merge would silently inherit
+        # that error, while the LS fallback stays exact for any filters.
+        rec = rec_filters(wave)
+        dec = dec_filters(wave)
+        for h0, h1, g0, g1 in ((dec[0], dec[1], rec[0], rec[1]),
+                               (dec[2], dec[3], rec[2], rec[3])):
+            if len(h0) != len(g0) or len(h1) != len(g1):
+                return None
+            p = (np.convolve(np.asarray(g0), np.asarray(h0)) +
+                 np.convolve(np.asarray(g1), np.asarray(h1)))
+            expect = np.zeros(len(p))
+            expect[len(h0) - 1] = 2.0
+            if not np.allclose(p, expect, atol=1e-8):
+                return None
+        return rec
     dec = dec_filters(wave)
     for h0, h1 in ((dec[0], dec[1]), (dec[2], dec[3])):
         spec = (np.abs(np.fft.fft(np.asarray(h0), 256)) ** 2 +

@@ -136,10 +136,12 @@ def test_batch_chunk_fallbacks():
         warnings.simplefilter("error")
         tw.DTCWTForward(J=1, batch_chunk=8)(x)
     # o_dim=0 puts orientations on axis 0 (batch N=6 == 6 orientations,
-    # the trap case) -> layout guard must refuse to chunk
+    # the trap case) -> layout guard must refuse to chunk, and the
+    # dropped dial warns (model-level guard, models/_base.py)
     f0 = tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1, batch_chunk=3)
     g0 = tw.DTCWTInverse(o_dim=0, ri_dim=-1, batch_chunk=3)
-    ylo, yho = f0(x)
+    with pytest.warns(UserWarning, match="batch_chunk ignored"):
+        ylo, yho = f0(x)
     ref_ylo, ref_yho = tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1)(x)
     np.testing.assert_allclose(np.asarray(yho[0]), np.asarray(ref_yho[0]),
                                atol=1e-5)

@@ -45,6 +45,15 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail fast instead of hanging when the axon tunnel is dead —
+        # same subprocess enumeration probe as bench.py (bb8838f)
+        from bench import _device_probe
+        err = _device_probe()
+        if err is not None:
+            print(json.dumps({"workload": "compat_overhead",
+                              "error": err}))
+            return []
 
     import numpy as np
     import jax
