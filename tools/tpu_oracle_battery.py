@@ -175,6 +175,53 @@ def main():
         check(tag, jax.jit(lambda z: mo(z))(jnp.asarray(x)),
               mr(torch.from_numpy(x)), tol=5e-4)
 
+    # ---- round-3/4 numerics: dials, banded-LS ISWT, duck waves, dmey ----
+    # coeff_dtype storage dial: bf16 bandpasses, inverse upcasts on the
+    # dial signature (models/_base.py:upcast_bands)
+    x = rng.randn(2, 2, 128, 128).astype(np.float32)
+    fo = tw.DTCWTForward(J=2, coeff_dtype="bfloat16")
+    io = tw.DTCWTInverse()
+    rec = jax.jit(lambda z: io(fo(z)))(jnp.asarray(x))
+    check("dtcwt coeff_dtype=bf16 round trip", rec, x, tol=2e-2)
+    rec32 = jax.jit(lambda z: tw.DTCWTInverse()(tw.DTCWTForward(J=2)(z)))(
+        jnp.asarray(x))
+    check("dtcwt coeff_dtype=bf16 vs f32 path", rec, np.asarray(rec32),
+          tol=2e-2)
+    # batch_chunk dial: chunked == unchunked on chip
+    yl_c, yh_c = jax.jit(
+        lambda z: tw.DTCWTForward(J=2, batch_chunk=1)(z))(jnp.asarray(x))
+    yl_u, yh_u = jax.jit(lambda z: tw.DTCWTForward(J=2)(z))(jnp.asarray(x))
+    check("dtcwt batch_chunk fwd", yl_c, np.asarray(yl_u))
+    check("dtcwt batch_chunk bands", yh_c[0], np.asarray(yh_u[0]))
+    # banded normal-equations ISWT (non-circular mode past the 2048
+    # dense wall, transforms/dwt.py:394)
+    xw = rng.randn(1, 1, 8, 2304).astype(np.float32)
+    fo = tw.SWTForward(J=1, wave="db2", mode="symmetric")
+    co = jax.jit(lambda z: fo(z))(jnp.asarray(xw))
+    rec = tw.SWTInverse(wave="db2", mode="symmetric")(co)
+    check("swt banded-LS inverse W=2304", rec, xw, tol=1e-3)
+    # duck-typed wavelet object == named wavelet vs the reference
+    from pytorch_wavelets_tpu.filters import wavelet as _resolve
+
+    class _Duck:
+        def __init__(self, n):
+            w = _resolve(n)
+            self.name = n
+            self.dec_lo, self.dec_hi = list(w.dec_lo), list(w.dec_hi)
+            self.rec_lo, self.rec_hi = list(w.rec_lo), list(w.rec_hi)
+
+    x = rng.randn(1, 2, 63, 65).astype(np.float32)
+    yl, yh = jax.jit(
+        lambda z: tw.DWTForward(J=2, wave=_Duck("db3"))(z))(jnp.asarray(x))
+    yl_r, yh_r = pw.DWTForward(J=2, wave="db3")(torch.from_numpy(x))
+    check("duck pywt.Wavelet DWT", yl, yl_r)
+    # dmey: 62-tap FIR Meyer round trip at its documented ~1e-4 accuracy
+    x = rng.randn(1, 1, 128, 128).astype(np.float32)
+    rec = jax.jit(lambda z: tw.DWTInverse(wave="dmey", mode="periodization")(
+        tw.DWTForward(J=2, wave="dmey", mode="periodization")(z)))(
+        jnp.asarray(x))
+    check("dmey round trip", rec, x, tol=5e-4)
+
     # ---- gradients: fwd VJP == reference backward ----------------------
     x = rng.randn(1, 2, 32, 32).astype(np.float32)
     fo = tw.DTCWTForward(J=2)
