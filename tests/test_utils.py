@@ -71,3 +71,89 @@ def test_dwt_coeff_len_matches_pywt_formula():
     assert dwt_coeff_len(127, 6, "zero") == 66
     with pytest.raises(ValueError):
         dwt_coeff_len(0, 8, "zero")
+
+
+# ---------------------------------------------------------------------------
+# Kingsbury test-image helpers + the orientation-selectivity invariant
+# (reference contract: pytorch_wavelets/utils.py:45-101, 190-235)
+# ---------------------------------------------------------------------------
+
+def test_drawedge_geometry():
+    from pytorch_wavelets_tpu.utils import drawedge
+    N = 32
+    c = np.array([N / 2, N / 2])
+    # theta=0: horizontal edge, top of image = 1 (reference docstring).
+    img = drawedge(0, c, 1, N)
+    assert img.shape == (N, N)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert img[0].mean() > 0.99 and img[-1].mean() < 0.01
+    # columns are constant for a horizontal edge
+    assert np.allclose(img, img[:, :1])
+    # the edge passes through r: value there is exactly on the ramp midpoint
+    assert abs(img[N // 2, 3] - 0.5) < 1e-12
+    # theta=90: vertical edge, rows constant
+    img90 = drawedge(90, c, 1, N)
+    assert np.allclose(img90, img90[:1, :])
+    # wider transition => more intermediate pixels
+    wide = drawedge(0, c, 8, N)
+    mid = lambda a: ((a > 0.05) & (a < 0.95)).sum()
+    assert mid(wide) > mid(img)
+
+
+def test_drawcirc_geometry():
+    from pytorch_wavelets_tpu.utils import drawcirc
+    N = 65
+    img = drawcirc(12, 2, 0, 0, N)
+    assert img.shape == (N, N)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    c = (N + 1) // 2
+    assert img[c, c] > 0.99                      # centre inside the disc
+    assert img[2, 2] < 0.01                      # corner outside
+    # ~50% crossing sits at the radius
+    assert abs(img[c, c + 12] - 0.5) < 0.1
+    # du shifts columns, dv shifts rows (the reference's transposed plane)
+    sh = drawcirc(12, 2, 5, -3, N)
+    assert sh[c - 3, c + 5] > 0.99
+    np.testing.assert_allclose(sh[c - 3 - 10:c - 3 + 10, c + 5 - 10:c + 5 + 10],
+                               img[c - 10:c + 10, c - 10:c + 10], atol=1e-6)
+
+
+def test_stacked_2d_prods():
+    from pytorch_wavelets_tpu.utils import (
+        stacked_2d_matrix_matrix_prod, stacked_2d_matrix_vector_prod,
+        stacked_2d_vector_matrix_prod)
+    rng = np.random.default_rng(7)
+    mats = rng.standard_normal((2, 3, 4, 5))
+    vecs = rng.standard_normal((2, 3, 5))
+    out = stacked_2d_matrix_vector_prod(mats, vecs)
+    assert out.shape == (2, 3, 4)
+    np.testing.assert_allclose(out[1, 2], mats[1, 2] @ vecs[1, 2], atol=1e-12)
+    v2 = rng.standard_normal((2, 3, 4))
+    out2 = stacked_2d_vector_matrix_prod(v2, mats)
+    assert out2.shape == (2, 3, 5)
+    np.testing.assert_allclose(out2[0, 1], mats[0, 1].T @ v2[0, 1], atol=1e-12)
+    m2 = rng.standard_normal((2, 3, 5, 6))
+    out3 = stacked_2d_matrix_matrix_prod(mats, m2)
+    assert out3.shape == (2, 3, 4, 6)
+    np.testing.assert_allclose(out3[1, 0], mats[1, 0] @ m2[1, 0], atol=1e-12)
+
+
+@pytest.mark.parametrize("band,theta", list(enumerate((15, 45, 75, 105, 135, 165))))
+def test_dtcwt_orientation_selectivity(band, theta):
+    """The quality invariant the test-image helpers exist for: an oriented
+    edge at each of the six documented angles must maximally excite exactly
+    the band the docs assign to it (15..165 degree order, SURVEY 2.6 /
+    reference transforms doc), at every decomposed level."""
+    import pytorch_wavelets_tpu as tw
+    from pytorch_wavelets_tpu.utils import drawedge
+    N = 128
+    img = drawedge(theta, np.array([N / 2, N / 2]), 2.0, N).astype(np.float32)
+    x = jnp.asarray(img)[None, None]
+    yl, yh = tw.DTCWTForward(J=3)(x)
+    for lvl in (1, 2):
+        h = np.asarray(yh[lvl])                      # (B,C,6,H,W,2)
+        energy = np.abs(h[..., 0] + 1j * h[..., 1]).sum(axis=(0, 1, 3, 4))
+        assert int(energy.argmax()) == band, (theta, lvl, energy)
+        # and the response is sharply selective, not a near-tie
+        runner_up = np.partition(energy, -2)[-2]
+        assert energy[band] > 1.15 * runner_up, (theta, lvl, energy)
