@@ -61,8 +61,11 @@ def _to_jax(t):
     if t.dtype == torch.bfloat16:  # numpy cannot represent bf16
         t = t.to(torch.float32)
     if t.device.type == "cpu":
-        try:  # zero-copy staging via the dlpack protocol (JAX treats
-            # the shared buffer as read-only; torch keeps ownership)
+        try:  # zero-copy staging via the dlpack protocol. In-place
+            # mutation hazards on the shared buffer are pinned by the
+            # dlpack-contract tests in tests/test_torch_compat.py:
+            # fwd->mutate->bwd errors via torch's version counter, and
+            # outputs never alias this buffer.
             return jax.numpy.from_dlpack(t.contiguous())
         except Exception:
             pass
@@ -75,7 +78,10 @@ def _to_torch(a, device):
             # directly (CPU<->CPU; fails cleanly for TPU buffers).
             # Results of a jitted execution are fresh XLA allocations
             # referenced only through this capsule, so handing them to
-            # torch (including for in-place use) is safe.
+            # torch (including for in-place use) is safe — tested, not
+            # asserted: tests/test_torch_compat.py pins output/input
+            # non-aliasing (incl. the J=0 passthrough), in-place output
+            # mutation isolation, and save/load round trips.
             return torch.from_dlpack(a).to(device)
         except Exception:
             pass
