@@ -22,6 +22,8 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 110.7  # GTX1080 end-to-end J=2 (docs/speed.rst:37-40)
+HBM_PEAK_GB_S = 819.0    # TPU v5e HBM bandwidth (the usual bound here;
+                         # docs/performance.md "HBM roofline" section)
 
 
 def _device_probe(timeout_s=300):
@@ -98,12 +100,41 @@ def main():
 
     mpix = N * C * H * W / 1e6
     value = mpix / dt
-    print(json.dumps({
+
+    # Roofline context (VERDICT r4 task 7): bytes moved per end-to-end
+    # invocation from XLA's cost analysis of this very program, so the
+    # achieved bandwidth — and how close it sits to the HBM roof — is in
+    # the headline line itself.  Cost-analysis bytes are a traffic upper
+    # bound (fusion-internal bytes partly live in registers/caches), so
+    # the fraction can exceed 1.0 on a well-fused program.
+    bytes_e2e, bytes_src = None, None
+    try:
+        cost = jax.jit(end_to_end).lower(x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        bytes_e2e, bytes_src = float(cost["bytes accessed"]), "device"
+    except Exception:
+        try:  # committed CPU-backend fingerprint of the same program
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "HLO_SNAPSHOT.json")) as f:
+                bytes_e2e = float(json.load(f)["bytes_accessed"])
+                bytes_src = "hlo_snapshot"
+        except Exception:
+            pass
+
+    line = {
         "metric": "dtcwt_j2_end_to_end_mpix_per_s",
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(value / BASELINE_MPIX_S, 2),
-    }))
+    }
+    if bytes_e2e is not None:
+        gb_s = bytes_e2e / dt / 1e9
+        line["bytes_model_gb_per_e2e"] = round(bytes_e2e / 1e9, 3)
+        line["bytes_model_src"] = bytes_src
+        line["effective_gb_per_s"] = round(gb_s, 1)
+        line["frac_of_hbm_peak_819"] = round(gb_s / HBM_PEAK_GB_S, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
