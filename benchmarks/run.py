@@ -47,7 +47,10 @@ def main(argv=None):
     p.add_argument("--batch-chunk", type=int, default=None,
                    help="run the transform as a sequential lax.map over "
                         "batch chunks of this size (working-set dial, "
-                        "models/_base.py:batch_chunked; DTCWT/scat only)")
+                        "models/_base.py:batch_chunked; DTCWT/scat only). "
+                        "Unset = the models' auto default (DTCWT chunks "
+                        "to 8 inside the measured droop region); 0 = "
+                        "explicitly unchunked")
     p.add_argument("--precision", default=None,
                    choices=["highest", "high", "default"],
                    help="matmul precision dial (ops/precision.py); "

@@ -99,6 +99,31 @@ def batch_chunked(fn, args, chunk):
     return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out)
 
 
+# The measured large-batch bandwidth droop and its mitigation
+# (docs/performance.md §"The 256/batch-32 dip", measurements/r05_logs/
+# 03_droop.log + 22_droop_512.log): unchunked DTCWT round trips droop
+# 3403 -> 2215 -> 1977 Mpix/s at 256^2 batch 8 -> 32 -> 64 (and 1544 ->
+# 1218 -> 1168 at 512^2) while lax.map chunks of 8 hold flat at the
+# batch-8 rate (+35%/+52% at 256^2, +25%/+32% at 512^2).  resolve_chunk
+# turns that measurement into the dial's default: None = auto (chunk 8
+# inside the measured droop region only), False/0 = explicitly off,
+# int = explicit chunk size.
+DROOP_CHUNK = 8
+_DROOP_MIN_BATCH = 32          # droop onset (batch 16 gain was ~noise)
+_DROOP_MAX_HW = 512 * 512      # measured image regime; giants untouched
+_DROOP_MIN_ELEMS = 6_000_000   # working set where the droop appears
+
+
+def resolve_chunk(batch_chunk, n, hw, elems):
+    """Resolve the batch_chunk dial value to a concrete chunk (0 = off)."""
+    if batch_chunk is None:
+        if (n >= _DROOP_MIN_BATCH and n % DROOP_CHUNK == 0
+                and hw <= _DROOP_MAX_HW and elems >= _DROOP_MIN_ELEMS):
+            return DROOP_CHUNK
+        return 0
+    return int(batch_chunk) if batch_chunk else 0
+
+
 def warn_chunk_dropped(cls_name, reason):
     """One-line warning when a model-level guard drops the batch_chunk
     dial entirely (mesh= path, non-batch-leading layout) — the same

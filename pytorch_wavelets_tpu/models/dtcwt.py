@@ -3,7 +3,7 @@ from __future__ import annotations
 
 from pytorch_wavelets_tpu.models._base import (
     StaticModule, batch_chunked, canon_dtype, cast_bands as _cast_yh,
-    upcast_bands as _upcast_yh, warn_chunk_dropped,
+    resolve_chunk, upcast_bands as _upcast_yh, warn_chunk_dropped,
 )
 from pytorch_wavelets_tpu.transforms.dtcwt_xfm import (
     dtcwt2d, dtcwt_fwd_filters, dtcwt_inv_filters, idtcwt2d,
@@ -45,10 +45,15 @@ class DTCWTForward(StaticModule):
             the returned yh is narrowed — a TPU HBM-bandwidth dial the
             torch reference has no analogue of.  DTCWTInverse upcasts
             automatically.  Default None (input dtype).
-        batch_chunk: optional chunk size — run the pyramid as a
-            sequential ``lax.map`` over batch chunks inside one program,
-            bounding the live working set (models/_base.py
-            batch_chunked; single-device, batch-leading layouts only).
+        batch_chunk: chunk size for running the pyramid as a sequential
+            ``lax.map`` over batch chunks inside one program, bounding
+            the live working set (models/_base.py batch_chunked;
+            single-device, batch-leading layouts only).  Default None =
+            auto: chunks of 8 inside the measured large-batch droop
+            region (batch >= 32 divisible by 8, images <= 512x512 —
+            measured +35%/+52% at 256^2 batch 32/64 and +25%/+32% at
+            512^2, docs/performance.md); False/0 disables, an int
+            forces that chunk.
     Call: x (N, C, H, W) -> (yl, yh); yh[j] has shape
     (N, C, 6, H_j, W_j, 2) for the default dims.  Skipped levels give None.
     """
@@ -112,9 +117,13 @@ class DTCWTForward(StaticModule):
             if self.coeff_dtype is not None and yh is not None:
                 yh = _cast_yh(yh, self.coeff_dtype)
             return yl, yh
-        if self.batch_chunk:
-            if self._batch_leading():
-                return batch_chunked(self._single, x, self.batch_chunk)
+        chunk = resolve_chunk(self.batch_chunk, x.shape[0],
+                              x.shape[-2] * x.shape[-1], x.size)
+        if chunk and self._batch_leading():
+            return batch_chunked(self._single, x, chunk)
+        if self.batch_chunk and not self._batch_leading():
+            # only an EXPLICIT dial warrants the dropped-dial warning;
+            # the auto default just declines silently
             warn_chunk_dropped(
                 "DTCWTForward",
                 "o_dim/ri_dim layout is not batch-leading")
@@ -167,9 +176,30 @@ class DTCWTInverse(StaticModule):
             return sharded_idtcwt2d(
                 coeffs, self.mesh, _thaw_filters(self._filters),
                 mode=self.mode, o_dim=self.o_dim, ri_dim=self.ri_dim)
-        if self.batch_chunk:
-            if self.o_dim % 6 != 0 and self.ri_dim % 6 != 0:
-                return batch_chunked(inv, coeffs, self.batch_chunk)
+        chunk = self.batch_chunk
+        if chunk is None:
+            # auto default: size the droop test off the finest concrete
+            # bandpass (its spatial dims are half the image's); only the
+            # default (..., 6, H, W, 2) layout is auto-sized — other
+            # o_dim/ri_dim layouts move the spatial axes, so there the
+            # dial stays explicit-only
+            import jax
+            yl, yh = coeffs
+            finest = next((h for h in (yh or [])
+                           if h is not None and h.size), None)
+            if finest is None or (self.o_dim % 6, self.ri_dim % 6) != (2, 5):
+                chunk = 0
+            else:
+                elems = sum(a.size for a in jax.tree.leaves(coeffs))
+                chunk = resolve_chunk(
+                    None, finest.shape[0],
+                    4 * finest.shape[-3] * finest.shape[-2], elems)
+        else:
+            chunk = resolve_chunk(chunk, 0, 0, 0)
+        batch_leading = self.o_dim % 6 != 0 and self.ri_dim % 6 != 0
+        if chunk and batch_leading:
+            return batch_chunked(inv, coeffs, chunk)
+        if self.batch_chunk and not batch_leading:
             warn_chunk_dropped(
                 "DTCWTInverse",
                 "o_dim/ri_dim layout is not batch-leading")

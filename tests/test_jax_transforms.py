@@ -203,3 +203,62 @@ def test_batch_chunk_force_matmul_matches():
                                    atol=1e-5)
     finally:
         banded.set_operator_matmul(None)
+
+
+def test_batch_chunk_auto_default():
+    """batch_chunk=None is 'auto': inside the measured droop region
+    (batch >= 32 divisible by 8, images <= 256x256, >= 6M elements) the
+    DTCWT models chunk to 8 by themselves; outside it, or with
+    batch_chunk=False, they run unchunked (models/_base.py
+    resolve_chunk; measured basis in docs/performance.md)."""
+    import pytorch_wavelets_tpu.models.dtcwt as mdt
+
+    calls = []
+    orig = mdt.batch_chunked
+
+    def spy(fn, args, chunk):
+        calls.append(chunk)
+        return orig(fn, args, chunk)
+
+    mdt.batch_chunked = spy
+    try:
+        xb = _x(11, (32, 3, 256, 256))
+        f_auto = tw.DTCWTForward(J=1)
+        yl, yh = f_auto(xb)
+        assert calls == [8], calls
+        # identical to the explicitly-unchunked result
+        yl0, yh0 = tw.DTCWTForward(J=1, batch_chunk=False)(xb)
+        assert calls == [8], calls          # False really disables
+        np.testing.assert_allclose(np.asarray(yl), np.asarray(yl0),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yh[0]), np.asarray(yh0[0]),
+                                   atol=1e-5)
+        # the inverse auto-sizes off the finest bandpass
+        r = tw.DTCWTInverse()((yl, yh))
+        assert calls == [8, 8], calls
+        r0 = tw.DTCWTInverse(batch_chunk=0)((yl, yh))
+        assert calls == [8, 8], calls       # 0 also disables
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r0),
+                                   atol=1e-5)
+        # outside the droop region auto declines: small batch ...
+        f_auto(_x(12, (8, 3, 256, 256)))
+        assert calls == [8, 8], calls
+        # ... batch not divisible by 8 ...
+        f_auto(_x(13, (36, 3, 256, 256)))
+        assert calls == [8, 8], calls
+        # ... image larger than the measured regime ...
+        f_auto(_x(14, (32, 1, 1024, 1024)))
+        assert calls == [8, 8], calls
+        # ... or a working set below the droop threshold
+        f_auto(_x(15, (32, 3, 64, 64)))
+        assert calls == [8, 8], calls
+        # auto + non-batch-leading layout declines SILENTLY (only an
+        # explicit dial warrants the dropped-dial warning)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            tw.DTCWTForward(J=1, o_dim=0, ri_dim=-1)(
+                _x(16, (32, 3, 256, 256)))
+        assert calls == [8, 8], calls
+    finally:
+        mdt.batch_chunked = orig

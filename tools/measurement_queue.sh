@@ -87,9 +87,11 @@ run 1800 09_cd_swt_1024_bf16 python benchmarks/run.py --swt --size 1024 --batch 
 # 5. machine-recorded sweep artifact — committed to repo root
 run 5400 10_record_sweep python tools/record_sweep.py SWEEP_r${ROUND}.json
 
-# 6. giant-image rows, single chip (VERDICT r3 task 4)
-run 2400 11_giant_8192  python benchmarks/run.py --dtcwt --size 8192 --batch 1 -j 2 --repeats 10
-run 3000 12_giant_12288 python benchmarks/run.py --dtcwt --size 12288 --batch 1 -j 2 --repeats 5
+# 6. giant-image rows, single chip (VERDICT r3 task 4).  Channel counts
+#    sized to HBM: ch=10 at 8192^2 needs ~25 GB of transients (measured
+#    OOM on the 16 GB v5e, r05 queue); ch=4 / ch=1 fit.
+run 2400 11_giant_8192  python benchmarks/run.py --dtcwt --size 8192 --ch 4 --batch 1 -j 2 --repeats 10
+run 3000 12_giant_12288 python benchmarks/run.py --dtcwt --size 12288 --ch 1 --batch 1 -j 2 --repeats 5
 
 # 7. headline bench sanity (driver re-runs bench.py itself at round end)
 run 900 13_bench python bench.py
