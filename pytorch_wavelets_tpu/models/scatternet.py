@@ -5,7 +5,7 @@ import numpy as np
 
 from pytorch_wavelets_tpu.filters import biort as _biort, qshift as _qshift
 from pytorch_wavelets_tpu.models._base import (
-    StaticModule, batch_chunked, warn_chunk_dropped,
+    StaticModule, batch_chunked, resolve_scat_chunk, warn_chunk_dropped,
 )
 from pytorch_wavelets_tpu.ops.dtcwt_fb import prep_taps
 from pytorch_wavelets_tpu.transforms.scatternet import (
@@ -78,10 +78,15 @@ class ScatLayerj2(StaticModule):
     Call: x (N, C, H, W) -> (N, 49C, H/4, W/4) (or (N, 51, ...) when
     combine_colour).
 
-    ``batch_chunk``: optional chunk size — run the net as a sequential
-    ``lax.map`` over batch chunks inside one program, bounding the live
-    working set at the reference's deployment shape (128, 3, 256, 256)
-    (models/_base.py batch_chunked; single-device only)."""
+    ``batch_chunk``: working-set dial — run the net as a sequential
+    ``lax.map`` over batch chunks inside one program (models/_base.py
+    batch_chunked; single-device only).  The default ``None`` is *auto*:
+    chunks of 8 whenever the input sits in the measured large-batch
+    droop region (batch >= 32 divisible by 8, total >= 6M elements, and
+    a per-chunk working set <= ~4M elements — at the reference's
+    deployment shape (128, 3, 256, 256) the measured gain is +55%;
+    models/_base.py:resolve_scat_chunk).  ``False``/``0`` disables; an
+    int forces a chunk size."""
     _fields = ("biort", "qshift", "mode", "magbias", "combine_colour",
                "_filters", "_bandpass_diag", "mesh", "batch_chunk")
 
@@ -134,10 +139,14 @@ class ScatLayerj2(StaticModule):
                                    mode=self.mode, magbias=self.magbias,
                                    combine_colour=self.combine_colour,
                                    bandpass_diag=self._bandpass_diag)
+        chw = 1
+        for d in x.shape[1:]:
+            chw *= d
+        chunk = resolve_scat_chunk(self.batch_chunk, x.shape[0], chw)
         return batch_chunked(
             lambda z: scat_layer_j2(
                 z, dict(self._filters), mode=self.mode,
                 magbias=self.magbias,
                 combine_colour=self.combine_colour,
                 bandpass_diag=self._bandpass_diag),
-            x, self.batch_chunk)
+            x, chunk)

@@ -262,3 +262,54 @@ def test_batch_chunk_auto_default():
         assert calls == [8, 8], calls
     finally:
         mdt.batch_chunked = orig
+
+
+def test_scat_batch_chunk_auto_default():
+    """ScatLayerj2's batch_chunk=None is 'auto' with the scat-specific
+    boundary: chunks of 8 when batch >= 32 (divisible by 8), total
+    >= 6M elements, AND the per-chunk working set stays under ~4M
+    elements — the measured regime where chunking gains +11..55%
+    (models/_base.py:resolve_scat_chunk; on-chip basis in
+    docs/performance.md)."""
+    import pytorch_wavelets_tpu.models.scatternet as msc
+
+    calls = []
+    orig = msc.batch_chunked
+
+    def spy(fn, args, chunk):
+        calls.append(chunk)
+        return orig(fn, args, chunk)
+
+    msc.batch_chunked = spy
+    try:
+        xb = _x(21, (32, 3, 256, 256))
+        f_auto = tw.ScatLayerj2()
+        y = f_auto(xb)
+        assert calls == [8], calls
+        # identical to the explicitly-unchunked result (ulp-level
+        # reassociation differences only)
+        y0 = tw.ScatLayerj2(batch_chunk=False)(xb)
+        assert calls == [8, 0], calls       # False really disables
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   atol=1e-5)
+        # outside the regime auto declines: small batch ...
+        f_auto(_x(22, (8, 3, 256, 256)))
+        assert calls == [8, 0, 0], calls
+        # ... batch not divisible by 8 ...
+        f_auto(_x(23, (36, 3, 256, 256)))
+        assert calls == [8, 0, 0, 0], calls
+        # ... per-chunk working set past the measured boundary (C=10 and
+        # 512^2 both measured flat-to-negative on chip) ...
+        f_auto(_x(24, (32, 10, 256, 256)))
+        assert calls == [8, 0, 0, 0, 0], calls
+        # ... or a total working set below the droop threshold
+        f_auto(_x(25, (32, 3, 64, 64)))
+        assert calls == [8, 0, 0, 0, 0, 0], calls
+        # an explicit int still forces the size everywhere
+        tw.ScatLayerj2(batch_chunk=16)(xb)
+        assert calls[-1] == 16, calls
+        # ScatLayer (j1) keeps the explicit-only dial: no auto chunking
+        tw.ScatLayer()(xb)
+        assert calls[-1] in (None, 0), calls
+    finally:
+        msc.batch_chunked = orig
