@@ -36,6 +36,7 @@ from pytorch_wavelets_tpu.models import (  # noqa: F401
     SWTForward, SWTInverse, DTCWTForward, DTCWTInverse,
     ScatLayer, ScatLayerj2,
 )
+from pytorch_wavelets_tpu.models._base import batch_chunked  # noqa: F401
 
 # Aliases matching the reference (reference __init__.py:27-36)
 DWT = DWTForward
@@ -54,5 +55,6 @@ __all__ = [
     "DWT", "IDWT", "DWT2D", "IDWT2D", "DWT1D", "IDWT1D",
     "DTCWT", "IDTCWT",
     "set_matmul_precision", "get_matmul_precision", "matmul_precision",
+    "batch_chunked",
     "__version__",
 ]

@@ -125,22 +125,26 @@ def resolve_chunk(batch_chunk, n, hw, elems):
 
 
 # ScatLayerj2 shows the same droop with a different boundary: chunk-8
-# round trips gain +55%/+34%/+11% at 128/64/32 x 3 x 256^2 and +26% at
+# nets gain +55%/+34%/+11% at 128/64/32 x 3 x 256^2 and +26% at
 # 64 x 6 x 256^2, but go flat at 32 x 3 x 512^2 (per-chunk working set
 # 6.3M elems) and negative at 64 x 10 x 256^2 (5.2M) — the 49x channel
 # expansion makes the *per-chunk* footprint the discriminator, not the
-# image size (on-chip A/Bs, measurements/r05_logs/ + docs/performance.md
-# §"The 256/batch-32 dip").  Auto-chunk only while a chunk's input stays
-# under ~4M elements (between the measured +26% at 3.1M and the measured
-# negatives above 5M).
+# image size (on-chip A/Bs, measurements/r05_logs/25_scat_chunk_map.log
+# + docs/performance.md §"The 256/batch-32 dip").  Auto-chunk only
+# while a chunk's input stays under ~4M elements (between the measured
+# +26% at 3.1M and the measured negatives above 5M), and only from
+# batch 64: differentiating through the chunk loop costs a remat-shaped
+# overhead that at batch 32 outweighs the fwd gain (957 -> 811 Mpix/s
+# fwd+bwd) while at 64+ chunking wins both ways (752 -> 813 fwd+bwd).
 _SCAT_CHUNK_MAX_ELEMS = 4_000_000
+_SCAT_MIN_BATCH = 64
 
 
 def resolve_scat_chunk(batch_chunk, n, chw):
     """Resolve ScatLayerj2's batch_chunk dial (None = auto inside the
     measured regime; False/0 = off; int = explicit chunk size)."""
     if batch_chunk is None:
-        if (n >= _DROOP_MIN_BATCH and n % DROOP_CHUNK == 0
+        if (n >= _SCAT_MIN_BATCH and n % DROOP_CHUNK == 0
                 and n * chw >= _DROOP_MIN_ELEMS
                 and DROOP_CHUNK * chw <= _SCAT_CHUNK_MAX_ELEMS):
             return DROOP_CHUNK

@@ -31,7 +31,7 @@ MATRIX = [
      "--batches", "1", "8", "32"],
     ["--dtcwt", "--sizes", "2048", "4096", "--batches", "1", "-j", "3"],
     ["--dwt", "--sizes", "256", "1024", "--batches", "8"],
-    ["--scat", "--sizes", "256", "--batches", "8", "32", "64"],
+    ["--scat", "--sizes", "256", "--batches", "8", "32", "64", "128"],
     ["--scat", "--sizes", "256", "--batches", "8", "32", "--grad"],
     # the storage-dtype dial at the byte-bound shape (rows are tagged
     # 'dtcwt_e2e+bfloat16' so cross-round diffs keep keys distinct)
